@@ -1,0 +1,183 @@
+"""Whitted-style renderer: the TPU-native core.
+
+Reference capability: the recursive ``trace``/``shade``/``getFinalColor`` trio
+(``/root/reference/src/main.cpp:160-310``) and the per-pixel loop of
+``renderRayTracing`` (main.cpp:648-720).  XLA has no recursion, so the bounce
+recursion (depth cap 2, main.cpp:267) becomes an unrolled iterative loop with a
+per-ray throughput mask:
+
+    contribution += throughput * direct_light(hit)         (shade, main.cpp:244-263)
+    throughput   *= ks;  ray = reflected ray + eps offset  (main.cpp:252-256)
+    active       &= hit && any(ks > 0.01)                  (main.cpp:246, fixed form)
+
+The entire render — ray generation, every bounce's closest-hit query, every shadow
+ray, shading, effects — is one jittable, differentiable function of the scene
+pytree, so ``jax.grad`` flows from pixels to vertices, normals, materials, and
+lights.  Intersection backends are pluggable ('brute' | 'bvh' | 'pallas') behind
+the oracle + differentiable-reconstruction contract (see ops/intersect.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops import shading
+from ..ops.bvh import BVH, build_bvh, intersect_bvh, occluded_bvh
+from ..ops.intersect import Hit, intersect_brute, occluded_brute, reconstruct_hit
+from ..ops.linalg import reflect, safe_normalize
+from ..scene.types import Camera, Scene
+from ..utils.config import RenderConfig
+
+REFLECT_EPS = 1e-3
+
+
+class Backend(NamedTuple):
+    """Intersection oracle pair: closest-hit and any-hit queries."""
+
+    closest: Callable  # (origins, dirs) -> Hit
+    occluded: Callable  # (origins, dirs, t_max) -> bool [N]
+
+
+def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> Backend:
+    kind = cfg.resolve_backend(scene.num_triangles)
+    if kind == "brute":
+        return Backend(
+            closest=lambda o, d: intersect_brute(scene, o, d, tri_chunk=cfg.tri_chunk),
+            occluded=lambda o, d, tm: occluded_brute(scene, o, d, tm, tri_chunk=cfg.tri_chunk),
+        )
+    if kind == "bvh":
+        if bvh is None:
+            bvh = build_bvh(scene)
+        return Backend(
+            closest=lambda o, d: intersect_bvh(scene, bvh, o, d),
+            occluded=lambda o, d, tm: occluded_bvh(scene, bvh, o, d, tm),
+        )
+    if kind == "pallas":
+        from ..ops.pallas_kernels import intersect_pallas, occluded_pallas
+
+        return Backend(
+            closest=lambda o, d: intersect_pallas(scene, o, d),
+            occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
+        )
+    raise ValueError(f"Unknown backend {kind!r}")
+
+
+def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend, key):
+    """Iterative Whitted trace of a ray batch -> color [N,3].
+
+    Parity notes vs the reference:
+    - miss -> black (trace(), main.cpp:289-294),
+    - depth cap: contributions beyond ``max_depth`` levels are dropped (main.cpp:267),
+    - reflection continues only while ks is non-negligible; the reference's comma-
+      operator bug tests only ks.z (main.cpp:246) — reproduced under
+      ``cfg.reference_quirks``, otherwise any(ks > 0.01),
+    - reflected ray: reflect(dir, shading normal), origin offset by eps=0.001
+      (main.cpp:252-256).
+    """
+    n = origins.shape[0]
+    color = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+
+    o, d = origins, dirs
+    for level in range(cfg.max_depth):
+        hit = backend.closest(o, d)
+        surf = reconstruct_hit(scene, o, d, hit)
+        lkey = jax.random.fold_in(key, level)
+        direct = shading.direct_light(
+            scene, d, surf, backend.occluded, lkey,
+            soft_shadow_samples=cfg.soft_shadow_samples,
+            sample_chunk=cfg.soft_shadow_chunk,
+        )
+        lit = active & surf.valid
+        color = color + throughput * direct * lit[..., None].astype(jnp.float32)
+
+        if level + 1 >= cfg.max_depth:
+            break
+        if cfg.reference_quirks:
+            # Comma-operator bug: only ks.z is tested (main.cpp:246).
+            reflective = surf.ks[..., 2] > 0.01
+        else:
+            reflective = jnp.any(surf.ks > 0.01, axis=-1)
+        active = lit & reflective
+        throughput = throughput * surf.ks
+        refl_dir = safe_normalize(reflect(d, surf.normal))
+        o = surf.position + REFLECT_EPS * refl_dir
+        d = jnp.where(active[..., None], refl_dir, d)
+
+    return color
+
+
+def _render_flat(scene: Scene, camera: Camera, cfg: RenderConfig, backend: Backend,
+                 key, offset=(0.0, 0.0)):
+    origins, dirs = cam_ops.generate_rays(camera, cfg.height, cfg.width, offset=offset)
+    if cfg.ray_chunk and cfg.ray_chunk < origins.shape[0]:
+        num = origins.shape[0]
+        chunk = cfg.ray_chunk
+        pad = (-num) % chunk
+        o = jnp.pad(origins, ((0, pad), (0, 0)))
+        d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+        o = o.reshape(-1, chunk, 3)
+        d = d.reshape(-1, chunk, 3)
+        colors = jax.lax.map(
+            lambda od: trace_rays(scene, od[0], od[1], cfg, backend, key), (o, d)
+        )
+        color = colors.reshape(-1, 3)[:num]
+    else:
+        color = trace_rays(scene, origins, dirs, cfg, backend, key)
+    return color.reshape(cfg.height, cfg.width, 3)
+
+
+def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
+                 backend: Optional[Backend] = None, bvh: Optional[BVH] = None,
+                 key=None):
+    """Full render: AA supersampling + bloom + motion blur post-passes.
+
+    This is the functional equivalent of ``renderRayTracing`` (main.cpp:648-720).
+    Returns [H, W, 3] float32 in image-row order (row 0 = top), linear values
+    (clamp/quantize happens at write time, parity with screen.cpp:38-49).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if backend is None:
+        backend = make_backend(scene, cfg, bvh=bvh)
+
+    from ..ops import effects
+
+    def base_render(camera_, key_):
+        if cfg.anti_aliasing:
+            return effects.supersample_render(
+                lambda off: _render_flat(scene, camera_, cfg, backend, key_, offset=off),
+                cfg,
+            )
+        return _render_flat(scene, camera_, cfg, backend, key_)
+
+    if cfg.motion_blur:
+        img = effects.motion_blur(base_render, camera, cfg, key)
+    else:
+        img = base_render(camera, key)
+
+    if cfg.bloom:
+        img = effects.bloom(img, cfg)
+    return img
+
+
+def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool = True,
+           bvh: Optional[BVH] = None):
+    """User-facing render entry point; jits over (scene, camera) with cfg static."""
+    if bvh is None and cfg.resolve_backend(scene.num_triangles) == "bvh":
+        bvh = build_bvh(scene)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def fn(scene_, camera_, bvh_, key_):
+        backend = make_backend(scene_, cfg, bvh=bvh_)
+        return render_image(scene_, camera_, cfg, backend=backend, key=key_)
+
+    if jit:
+        fn = jax.jit(fn, static_argnames=())
+    return fn(scene, camera, bvh, key)

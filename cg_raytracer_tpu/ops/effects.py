@@ -1,0 +1,101 @@
+"""Post-process effects: anti-aliasing, bloom, motion blur.
+
+Reference capability (``/root/reference/src/main.cpp``):
+- AA: 2x2 supersampling per pixel (main.cpp:663-687).  The reference's subsample NDC
+  works out to offsets {0, 1} in *half-pixel* units and divides the 4-sample sum by
+  ``level * 2.5f = 5`` (a documented quirk that darkens the image, main.cpp:685);
+  default mode divides by 4, ``reference_quirks`` reproduces /5.
+- Bloom: brightness threshold (R+G+B > 1) then a 21x21 box blur added back over the
+  base image (main.cpp:586-628, 698-705).  The reference's in-place accumulation
+  contaminates later pixels with already-blurred earlier ones; default mode is the
+  clean separable box filter (two 1-D convolutions — an HBM-friendly formulation),
+  which is also what its cited GPU Gems reference describes.
+- Motion blur: camera lookAt jittered along +x in steps of 0.01 for 15 extra renders,
+  averaged with a /16 divisor (main.cpp:318-584).  The reference *omits* the base
+  render from the sum but still divides by 16 (darkening quirk); default mode
+  averages base + 15 jittered renders, ``reference_quirks`` drops the base render.
+
+All three are pure jnp transforms of the render function — differentiable and free to
+fuse with the main pass under jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import Camera
+from ..utils.config import RenderConfig
+
+BLOOM_RADIUS = 10  # 21x21 window (main.cpp:594-600)
+MOTION_BLUR_STEPS = 15
+MOTION_BLUR_DELTA = 0.01
+
+
+def supersample_render(render_offset_fn, cfg: RenderConfig):
+    """2x2 supersampling: average 4 renders at half-pixel offsets.
+
+    render_offset_fn((ox, oy) in pixel units) -> [H, W, 3].
+    Subsample positions match main.cpp:666-672: pixel corner + {0, 0.5} px.
+    """
+    offsets = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]
+    acc = None
+    for off in offsets:
+        img = render_offset_fn(off)
+        acc = img if acc is None else acc + img
+    divisor = 5.0 if cfg.reference_quirks else 4.0  # main.cpp:685 quirk
+    return acc / divisor
+
+
+def _box_blur_1d(img, radius: int, axis: int):
+    """Mean filter along one axis with edge-clipped normalization (zero padding +
+    count normalization, matching the reference's boundary ``continue`` skips)."""
+    size = 2 * radius + 1
+    ones = jnp.ones_like(img[..., :1])
+    kernel = jnp.ones((size,), img.dtype)
+
+    def conv1d(x):
+        # x: [..., L] along `axis` moved to the end
+        moved = jnp.moveaxis(x, axis, -1)
+        shape = moved.shape
+        flat = moved.reshape(-1, 1, shape[-1])
+        out = jax.lax.conv_general_dilated(
+            flat, kernel.reshape(1, 1, size),
+            window_strides=(1,), padding=[(radius, radius)],
+            dimension_numbers=("NCH", "IOH", "NCH"),
+        )
+        return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+    summed = conv1d(img)
+    counts = conv1d(jnp.broadcast_to(ones, img.shape))
+    return summed / counts
+
+
+def bloom(img, cfg: RenderConfig):
+    """Threshold + 21x21 box blur + add-back (bloomEffect, main.cpp:586-628)."""
+    bright = jnp.where(jnp.sum(img, axis=-1, keepdims=True) > 1.0, img, 0.0)
+    blurred = _box_blur_1d(_box_blur_1d(bright, BLOOM_RADIUS, axis=0), BLOOM_RADIUS, axis=1)
+    return img + blurred
+
+
+def motion_blur(base_render_fn, camera: Camera, cfg: RenderConfig, key):
+    """Average over lookAt-jittered cameras (blurEffect, main.cpp:318-584).
+
+    base_render_fn(camera, key) -> [H, W, 3].  Uses lax.map over the camera stack to
+    keep peak memory at one render at a time.
+    """
+    deltas = jnp.arange(1, MOTION_BLUR_STEPS + 1, dtype=jnp.float32) * MOTION_BLUR_DELTA
+    look_ats = jnp.stack([
+        jnp.stack([d, jnp.float32(0.0), jnp.float32(0.0)]) for d in deltas
+    ])  # [15, 3] — lookAt = (0.01*i, 0, 0), main.cpp:344-568
+
+    def one(look_at):
+        cam_i = Camera(look_at=look_at, euler=camera.euler, dist=camera.dist,
+                       fovy=camera.fovy, aspect=camera.aspect)
+        return base_render_fn(cam_i, key)
+
+    jittered_sum = jnp.sum(jax.lax.map(one, look_ats), axis=0)
+    if cfg.reference_quirks:
+        # The reference omits the base render but divides by 16 (main.cpp:581).
+        return jittered_sum / 16.0
+    base = base_render_fn(camera, key)
+    return (base + jittered_sum) / float(MOTION_BLUR_STEPS + 1)

@@ -1,0 +1,33 @@
+"""Render configuration.
+
+Reference capability: the reference's "config system" is compile-time defines plus
+ImGui globals (``bloom``/``blur``/``antiAliasing`` at main.cpp:33-35, scene/light
+widgets at main.cpp:769-882).  Every interactive tunable becomes a field here; the
+dataclass is frozen/hashable so it can be a static jit argument.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 800  # reference windowResolution (main.cpp:29)
+    height: int = 800
+    max_depth: int = 2  # reflection recursion cap (trace(), main.cpp:267)
+    anti_aliasing: bool = False  # 2x2 supersampling (main.cpp:663-687)
+    bloom: bool = False  # threshold + 21x21 box blur (main.cpp:586-628)
+    motion_blur: bool = False  # 16 lookAt-jittered renders averaged (main.cpp:318-584)
+    soft_shadow_samples: int = 200  # shadow rays per spherical-light shading (main.cpp:176)
+    soft_shadow_chunk: int = 20  # scan chunk for the sample axis (memory bound)
+    backend: str = "auto"  # 'brute' | 'bvh' | 'pallas' | 'auto'
+    ray_chunk: int = 0  # >0: process rays in chunks of this size (host loop)
+    tri_chunk: int = 2048  # triangle tile per brute-force scan step
+    reference_quirks: bool = False  # reproduce documented reference bugs (SURVEY §0)
+    # auto backend: brute force below this triangle count, BVH above.
+    brute_force_max_tris: int = 4096
+
+    def resolve_backend(self, num_tris: int) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "brute" if num_tris <= self.brute_force_max_tris else "bvh"
