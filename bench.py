@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): primary rays/s/chip, forward+backward, Cornell box
+(mirror) at 1024x1024, vs the reference's forward-only 3.8 M rays/s CPU baseline
+(report.pdf Table 2 via BASELINE.md).
+"""
+import json
+import sys
+
+
+def main() -> int:
+    from cg_raytracer_tpu.utils.bench import run_bench
+
+    result = run_bench(scene="cornell_box", width=1024, height=1024,
+                       include_bwd=True, iters=3)
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

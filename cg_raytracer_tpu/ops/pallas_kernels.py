@@ -1,0 +1,327 @@
+"""Pallas TPU kernels for the intersection hot path.
+
+Reference capability: the per-ray intersection loops that dominate the reference's
+runtime — ``intersectRayWithTriangle`` over mesh triangles
+(``/root/reference/src/ray_tracing.cpp:86-213``) inside ``bvh.intersect``
+(``src/bounding_volume_hierarchy.cpp:535-881``).
+
+TPU-native design: rays are tiled into (8, 128) VPU registers (RAY_TILE = 1024 rays
+per grid program); the kernel iterates triangles with a ``fori_loop``, broadcasting
+each triangle's 9 coordinates from VMEM over the whole ray tile and updating a
+running (t, slot, u, v) minimum with masked selects — branch-free Moller-Trumbore,
+no divergence, unit-stride loads.  The any-hit (shadow) variant early-exits its
+triangle loop once every ray in the tile is occluded.
+
+These kernels are oracles in the backend contract (ops/intersect.py): outputs are
+consumed through stop-gradient + differentiable reconstruction, so no VJP of the
+kernel itself is needed; inputs are stop-gradded for safety.
+
+Layout notes (pallas_guide.md): f32 min tile is (8, 128); scalars broadcast from
+VMEM refs; 2D iota via broadcasted_iota.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .intersect import MISS, Hit, intersect_spheres_one
+
+RAY_ROWS = 8
+RAY_COLS = 128
+RAY_TILE = RAY_ROWS * RAY_COLS
+
+_MT_EPS = 1e-9
+_BARY_EPS = 1e-6
+
+
+def _mt_tile(ox, oy, oz, dx, dy, dz, tri):
+    """Moller-Trumbore of one triangle (9 scalars) against an (8,128) ray tile.
+
+    Returns (t, u, v, valid) tiles.  Mirrors ops.intersect.moller_trumbore exactly
+    (same epsilons) so backends agree bit-for-bit up to fusion differences.
+    """
+    v0x, v0y, v0z = tri[0], tri[1], tri[2]
+    e1x, e1y, e1z = tri[3] - v0x, tri[4] - v0y, tri[5] - v0z
+    e2x, e2y, e2z = tri[6] - v0x, tri[7] - v0y, tri[8] - v0z
+
+    # pvec = cross(d, e2)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok_det = jnp.abs(det) > _MT_EPS
+    inv_det = jnp.where(ok_det, 1.0 / det, 0.0)
+    # tvec = o - v0
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = cross(tvec, e1)
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    valid = (
+        ok_det
+        & (u >= -_BARY_EPS)
+        & (v >= -_BARY_EPS)
+        & (u + v <= 1.0 + _BARY_EPS)
+        & (t >= 0.0)
+    )
+    return t, u, v, valid
+
+
+def _closest_kernel(rays_ref, tris_ref, t_ref, slot_ref, u_ref, v_ref, *, num_tris):
+    """rays_ref: (6, 8, 128) [ox oy oz dx dy dz]; tris_ref: (T, 9) VMEM."""
+    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+
+    init = (
+        t_ref[...],  # seeded with t_max by the caller via input_output aliasing? no:
+        jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
+        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+    )
+
+    def body(ti, carry):
+        t_best, slot, u_best, v_best = carry
+        tri = tris_ref[ti]
+        t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+        closer = valid & (t < t_best)
+        return (
+            jnp.where(closer, t, t_best),
+            jnp.where(closer, ti, slot),
+            jnp.where(closer, u, u_best),
+            jnp.where(closer, v, v_best),
+        )
+
+    t_best, slot, u_best, v_best = jax.lax.fori_loop(0, num_tris, body, init)
+    t_ref[...] = t_best
+    slot_ref[...] = slot
+    u_ref[...] = u_best
+    v_ref[...] = v_best
+
+
+def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
+                          v_ref, *, num_tris):
+    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+
+    init = (
+        tmax_ref[...],
+        jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
+        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+    )
+
+    def body(ti, carry):
+        t_best, slot, u_best, v_best = carry
+        tri = tris_ref[ti]
+        t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+        closer = valid & (t < t_best)
+        return (
+            jnp.where(closer, t, t_best),
+            jnp.where(closer, ti, slot),
+            jnp.where(closer, u, u_best),
+            jnp.where(closer, v, v_best),
+        )
+
+    t_best, slot, u_best, v_best = jax.lax.fori_loop(0, num_tris, body, init)
+    t_ref[...] = t_best
+    slot_ref[...] = slot
+    u_ref[...] = u_best
+    v_ref[...] = v_best
+
+
+def _anyhit_kernel(rays_ref, tmax_ref, tris_ref, hit_ref, *, num_tris,
+                   check_every: int = 64):
+    """Occlusion kernel: OR-accumulates (t < t_max) hits; exits the triangle loop
+    early once the whole tile is occluded (checked every ``check_every`` tris)."""
+    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+    t_max = tmax_ref[...]
+
+    def cond(state):
+        ti, blocked, all_done = state
+        return (ti < num_tris) & jnp.logical_not(all_done)
+
+    def body(state):
+        ti, blocked, _ = state
+        tri = tris_ref[ti]
+        t, _, _, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+        blocked = blocked | (valid & (t < t_max))
+        check = (ti % check_every) == (check_every - 1)
+        all_done = check & jnp.all(blocked)
+        return ti + 1, blocked, all_done
+
+    _, blocked, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((RAY_ROWS, RAY_COLS), bool), jnp.bool_(False)),
+    )
+    hit_ref[...] = blocked
+
+
+def _pack_rays(origins, dirs):
+    """[N,3]+[N,3] -> (rays6 [G, 6, 8, 128], n_pad) with G = padded N / 1024."""
+    n = origins.shape[0]
+    pad = (-n) % RAY_TILE
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    g = (n + pad) // RAY_TILE
+    comps = jnp.concatenate([o, d], axis=1)  # [Np, 6]
+    rays = comps.reshape(g, RAY_ROWS, RAY_COLS, 6).transpose(0, 3, 1, 2)
+    return rays, n, g
+
+
+def _tri_table(scene: Scene):
+    tris = scene.triangles
+    v0 = scene.vertices[tris[:, 0]]
+    v1 = scene.vertices[tris[:, 1]]
+    v2 = scene.vertices[tris[:, 2]]
+    return jnp.concatenate([v0, v1, v2], axis=1)  # [T, 9]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_call(rays, tmax_tiles, tri_table, interpret=False):
+    g = rays.shape[0]
+    num_tris = tri_table.shape[0]
+    kernel = functools.partial(_closest_kernel_entry, num_tris=num_tris)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+    ]
+    tile = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 6, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full triangle table
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM)
+        ] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(rays, tmax_tiles, tri_table)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_call(rays, tmax_tiles, tri_table, interpret=False):
+    g = rays.shape[0]
+    num_tris = tri_table.shape[0]
+    kernel = functools.partial(_anyhit_kernel, num_tris=num_tris)
+    tile = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 6, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.bool_),
+        interpret=interpret,
+    )(rays, tmax_tiles, tri_table)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() not in ("tpu",)
+
+
+def intersect_pallas(scene: Scene, origins, dirs, t_max=None,
+                     interpret: bool | None = None) -> Hit:
+    """Closest-hit via the Pallas tiled-MT kernel (+ jnp spheres, like the
+    reference's bvh.intersect sphere tail, bvh.cpp:878-879)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    n = origins.shape[0]
+    num_tris = scene.num_triangles
+
+    if num_tris > 0:
+        rays, n, g = _pack_rays(origins, dirs)
+        if t_max is None:
+            tm = jnp.full((n,), jnp.inf, jnp.float32)
+        else:
+            tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+        tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+        tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+        t, slot, u, v = _closest_call(rays, tm_tiles, _tri_table(scene),
+                                      interpret=interpret)
+        flat = lambda a: a.reshape(-1)[:n]
+        t, slot, u, v = flat(t), flat(slot), flat(u), flat(v)
+        best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=slot, u=u, v=v)
+    else:
+        best = Hit(
+            t=jnp.full((n,), jnp.inf, jnp.float32),
+            prim_id=jnp.full((n,), MISS),
+            u=jnp.zeros((n,), jnp.float32),
+            v=jnp.zeros((n,), jnp.float32),
+        )
+
+    num_spheres = scene.spheres.radius.shape[0]
+    if num_spheres > 0:
+        t_s, valid_s = jax.vmap(
+            lambda c, r: intersect_spheres_one(origins, dirs, c, r),
+            in_axes=(0, 0), out_axes=(0, 0),
+        )(scene.spheres.center, scene.spheres.radius)
+        t_s = jnp.where(valid_s, t_s, jnp.inf)
+        s = jnp.argmin(t_s, axis=0)
+        cols = jnp.arange(n)
+        t_best_s = t_s[s, cols]
+        closer = t_best_s < best.t
+        best = Hit(
+            t=jnp.where(closer, t_best_s, best.t),
+            prim_id=jnp.where(closer, num_tris + s.astype(jnp.int32), best.prim_id),
+            u=jnp.where(closer, 0.0, best.u),
+            v=jnp.where(closer, 0.0, best.v),
+        )
+    return best
+
+
+def occluded_pallas(scene: Scene, origins, dirs, t_max,
+                    interpret: bool | None = None):
+    """Any-hit via the Pallas kernel (+ jnp spheres)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    t_max = jax.lax.stop_gradient(t_max)
+    n = origins.shape[0]
+    num_tris = scene.num_triangles
+
+    if num_tris > 0:
+        rays, n, g = _pack_rays(origins, dirs)
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+        # Padding rays get t_max = -1 so they can never report an occlusion.
+        tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+        tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+        blocked = _anyhit_call(rays, tm_tiles, _tri_table(scene),
+                               interpret=interpret)
+        blocked = blocked.reshape(-1)[:n]
+    else:
+        blocked = jnp.zeros((n,), bool)
+
+    num_spheres = scene.spheres.radius.shape[0]
+    if num_spheres > 0:
+        t_s, valid_s = jax.vmap(
+            lambda c, r: intersect_spheres_one(origins, dirs, c, r),
+            in_axes=(0, 0), out_axes=(0, 0),
+        )(scene.spheres.center, scene.spheres.radius)
+        blocked = blocked | jnp.any(valid_s & (t_s < t_max[None, :]), axis=0)
+    return blocked

@@ -1,0 +1,120 @@
+"""Device-mesh parallelism: pixel-grid sharding + replicated scene.
+
+Reference capability: the reference's only parallelism is an OpenMP ``parallel for``
+over scanlines (``/root/reference/src/main.cpp:653-656``).  The TPU-native analogue
+set (SURVEY §2 parallelism table):
+
+- **DP over rays**: the flattened ray/pixel axis is sharded over every chip of a
+  ``jax.sharding.Mesh`` with ``NamedSharding(P('rays'))``; XLA partitions the whole
+  fused render pipeline so each chip traces its slice of the grid.
+- **Replicated scene ("TP" degenerate case)**: scene buffers carry a replicated
+  sharding; gathers (triangle fetch, BVH nodes) stay chip-local.  Primitive-sharded
+  geometry for beyond-HBM scenes is the documented extension point.
+- **Gradient sync**: in the inverse-rendering train step, scene-parameter gradients
+  are reduced over the mesh automatically by XLA (psum over ICI) because the
+  parameters are replicated while the loss terms are ray-sharded.
+- **Multi-host**: the same code runs under ``jax.distributed.initialize`` — the mesh
+  then spans hosts and XLA routes the same collectives over ICI/DCN.
+
+There is no token/sequence dimension in a ray tracer; the ray-grid sharding *is*
+the context-parallel axis (SURVEY §5 long-context row).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.whitted import make_backend, render_image
+from ..scene.types import Camera, Scene
+from ..utils.config import RenderConfig
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the ray axis (rows of the pixel grid)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (image-row / flattened-ray) axis."""
+    return NamedSharding(mesh, P(RAY_AXIS))
+
+
+def _constrain_rows(x, mesh: Mesh):
+    return jax.lax.with_sharding_constraint(x, row_sharded(mesh))
+
+
+def sharded_render(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh,
+                   key=None, bvh=None):
+    """Jitted render with the pixel grid sharded over the mesh.
+
+    The image rows are constrained to ``P('rays')``; XLA propagates the sharding
+    backward through shading/intersection to the ray generation, so each device
+    traces only its rows.  Scene/BVH stay replicated.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def fn(scene_, camera_, bvh_, key_):
+        backend = make_backend(scene_, cfg, bvh=bvh_)
+        img = render_image(scene_, camera_, cfg, backend=backend, key=key_)
+        return _constrain_rows(img, mesh)
+
+    rep = replicated(mesh)
+    scene_r = jax.device_put(scene, rep)
+    camera_r = jax.device_put(camera, rep)
+    bvh_r = jax.device_put(bvh, rep) if bvh is not None else None
+    with mesh:
+        return fn(scene_r, camera_r, bvh_r, key)
+
+
+def render_loss(params, scene: Scene, camera: Camera, target, cfg: RenderConfig,
+                key, apply_params, mesh: Optional[Mesh] = None, bvh=None):
+    """L2 image loss for inverse rendering: || render(scene <- params) - target ||^2.
+
+    ``apply_params(scene, params) -> scene`` injects the optimizable leaves
+    (materials, lights, vertices) into the scene pytree.
+    """
+    scene_p = apply_params(scene, params)
+    backend = make_backend(scene_p, cfg, bvh=bvh)
+    img = render_image(scene_p, camera, cfg, backend=backend, key=key)
+    if mesh is not None:
+        img = _constrain_rows(img, mesh)
+        target = _constrain_rows(target, mesh)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_train_step(cfg: RenderConfig, optimizer, apply_params,
+                    mesh: Optional[Mesh] = None, bvh=None):
+    """Build the jitted inverse-rendering train step.
+
+    With a mesh, the target image and the rendered image are ray-sharded while
+    ``params`` are replicated — XLA inserts the gradient all-reduce (psum over ICI)
+    at the sharded->replicated boundary of the backward pass, overlapped with the
+    backward sweep by the scheduler.  This is the framework's "gradient sync"
+    (SURVEY §5 distributed-backend row).
+    """
+
+    def step(params, opt_state, scene, camera, target, key):
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, scene, camera, target, cfg, key, apply_params, mesh=mesh, bvh=bvh
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)

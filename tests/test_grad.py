@@ -1,0 +1,157 @@
+"""Gradient tests: jax.grad through the full render vs finite differences.
+
+BASELINE.json config 1: grads w.r.t. materials, lights, and vertex positions
+checked against central finite differences (away from visibility discontinuities).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cg_raytracer_tpu as cgrt
+from cg_raytracer_tpu.models.whitted import render_image
+
+CFG = cgrt.RenderConfig(width=24, height=24, backend="brute")
+
+
+def _loss_builder(scene, cfg=CFG, camera=None, key=None):
+    camera = camera or cgrt.Camera.default()
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def loss_of_scene(scene_):
+        img = render_image(scene_, camera, cfg, key=key)
+        # Smooth spatial weighting keeps the loss sensitive to geometry shifts.
+        h, w = cfg.height, cfg.width
+        wy = jnp.linspace(0.3, 1.0, h)[:, None, None]
+        wx = jnp.linspace(1.0, 0.4, w)[None, :, None]
+        return jnp.sum(img * wy * wx)
+
+    return loss_of_scene
+
+
+def _fd_check(loss_fn, x0, grad, picks, eps=2e-3, rtol=0.08, atol=1e-4):
+    """Central finite differences at a few coordinates."""
+    flat = np.asarray(x0, np.float64).ravel()
+    g = np.asarray(grad).ravel()
+    for i in picks:
+        xp = flat.copy()
+        xp[i] += eps
+        xm = flat.copy()
+        xm[i] -= eps
+        lp = float(loss_fn(jnp.asarray(xp.reshape(np.shape(x0)), jnp.float32)))
+        lm = float(loss_fn(jnp.asarray(xm.reshape(np.shape(x0)), jnp.float32)))
+        fd = (lp - lm) / (2 * eps)
+        assert np.isclose(fd, g[i], rtol=rtol, atol=max(atol, 5e-3 * abs(fd))), (
+            f"coord {i}: fd={fd:.6f} grad={g[i]:.6f}"
+        )
+
+
+@pytest.fixture(scope="module")
+def tri_scene():
+    return cgrt.load_scene("single_triangle")
+
+
+def test_grad_kd_matches_fd(tri_scene):
+    scene = tri_scene
+    base = _loss_builder(scene)
+
+    def loss_kd(kd):
+        mats = dataclasses.replace(scene.materials, kd=kd)
+        return base(dataclasses.replace(scene, materials=mats))
+
+    g = jax.grad(loss_kd)(scene.materials.kd)
+    assert np.all(np.isfinite(np.asarray(g)))
+    _fd_check(loss_kd, scene.materials.kd, g, picks=[0, 1, 2])
+
+
+def test_grad_light_position_matches_fd(tri_scene):
+    scene = tri_scene
+    base = _loss_builder(scene)
+
+    def loss_lp(pos):
+        lights = dataclasses.replace(scene.point_lights, position=pos)
+        return base(dataclasses.replace(scene, point_lights=lights))
+
+    g = jax.grad(loss_lp)(scene.point_lights.position)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
+    _fd_check(loss_lp, scene.point_lights.position, g, picks=[0, 1, 2])
+
+
+def test_grad_vertices_matches_fd(tri_scene):
+    # dL/d(vertex position) through normal interpolation + shading (the continuous
+    # part; the discrete hit selection is stop-gradded by design).
+    scene = tri_scene
+    base = _loss_builder(scene)
+
+    def loss_v(verts):
+        return base(dataclasses.replace(scene, vertices=verts))
+
+    g = jax.grad(loss_v)(scene.vertices)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_grad_shininess_and_ks(tri_scene):
+    scene = tri_scene
+    # Give the material a specular term so shininess has signal.
+    mats = dataclasses.replace(
+        scene.materials,
+        ks=jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32),
+        shininess=jnp.asarray([8.0], jnp.float32),
+    )
+    scene = dataclasses.replace(scene, materials=mats)
+    base = _loss_builder(scene)
+
+    def loss_s(shin):
+        m = dataclasses.replace(scene.materials, shininess=shin)
+        return base(dataclasses.replace(scene, materials=m))
+
+    g = jax.grad(loss_s)(scene.materials.shininess)
+    assert np.all(np.isfinite(np.asarray(g)))
+    _fd_check(loss_s, scene.materials.shininess, g, picks=[0], eps=1e-2)
+
+
+def test_grad_through_bvh_backend(scenes):
+    # BVH traversal is a stop-gradded oracle; grads flow via differentiable
+    # reconstruction — must match the brute backend's grads.  (cornell_box rather
+    # than cube: the cube camera grazes shared edges exactly, where coincident-t
+    # tie-breaks legitimately differ between backends.)
+    scene = scenes("cornell_box")
+    cfg_b = dataclasses.replace(CFG, backend="brute")
+    cfg_v = dataclasses.replace(CFG, backend="bvh")
+    from cg_raytracer_tpu.ops.bvh import build_bvh
+
+    bvh = build_bvh(scene)
+    cam = cgrt.Camera.default()
+    key = jax.random.PRNGKey(0)
+
+    def loss(kd, cfg, bvh_):
+        mats = dataclasses.replace(scene.materials, kd=kd)
+        s = dataclasses.replace(scene, materials=mats)
+        from cg_raytracer_tpu.models.whitted import make_backend
+
+        backend = make_backend(s, cfg, bvh=bvh_)
+        return jnp.sum(render_image(s, cam, cfg, backend=backend, key=key))
+
+    gb = jax.grad(lambda kd: loss(kd, cfg_b, None))(scene.materials.kd)
+    gv = jax.grad(lambda kd: loss(kd, cfg_v, bvh))(scene.materials.kd)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gv), rtol=1e-3, atol=1e-4)
+
+
+def test_grad_soft_shadow_scene_finite(scenes):
+    scene = scenes("cornell_box_spherical_light")
+    cfg = cgrt.RenderConfig(width=16, height=16, soft_shadow_samples=4,
+                            soft_shadow_chunk=2)
+    cam = cgrt.Camera.default()
+
+    def loss(kd):
+        mats = dataclasses.replace(scene.materials, kd=kd)
+        s = dataclasses.replace(scene, materials=mats)
+        return jnp.sum(render_image(s, cam, cfg, key=jax.random.PRNGKey(0)))
+
+    g = jax.grad(loss)(scene.materials.kd)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
