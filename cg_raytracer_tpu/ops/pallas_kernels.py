@@ -77,44 +77,14 @@ def _mt_tile(ox, oy, oz, dx, dy, dz, tri):
     return t, u, v, valid
 
 
-def _closest_kernel(rays_ref, tris_ref, t_ref, slot_ref, u_ref, v_ref, *, num_tris):
-    """rays_ref: (6, 8, 128) [ox oy oz dx dy dz]; tris_ref: (T, 9) VMEM."""
-    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
-
-    init = (
-        t_ref[...],  # seeded with t_max by the caller via input_output aliasing? no:
-        jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
-        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
-        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
-    )
-
-    def body(ti, carry):
-        t_best, slot, u_best, v_best = carry
-        tri = tris_ref[ti]
-        t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
-        closer = valid & (t < t_best)
-        return (
-            jnp.where(closer, t, t_best),
-            jnp.where(closer, ti, slot),
-            jnp.where(closer, u, u_best),
-            jnp.where(closer, v, v_best),
-        )
-
-    t_best, slot, u_best, v_best = jax.lax.fori_loop(0, num_tris, body, init)
-    t_ref[...] = t_best
-    slot_ref[...] = slot
-    u_ref[...] = u_best
-    v_ref[...] = v_best
-
-
 def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
                           v_ref, *, num_tris):
-    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+    """rays_ref block: (1, 6, 8, 128) [ox oy oz dx dy dz]; tris_ref: (T, 9) VMEM."""
+    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
+    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
 
     init = (
-        tmax_ref[...],
+        tmax_ref[0],
         jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
         jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
         jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
@@ -133,19 +103,19 @@ def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
         )
 
     t_best, slot, u_best, v_best = jax.lax.fori_loop(0, num_tris, body, init)
-    t_ref[...] = t_best
-    slot_ref[...] = slot
-    u_ref[...] = u_best
-    v_ref[...] = v_best
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u_best
+    v_ref[0] = v_best
 
 
 def _anyhit_kernel(rays_ref, tmax_ref, tris_ref, hit_ref, *, num_tris,
                    check_every: int = 64):
     """Occlusion kernel: OR-accumulates (t < t_max) hits; exits the triangle loop
     early once the whole tile is occluded (checked every ``check_every`` tris)."""
-    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
-    t_max = tmax_ref[...]
+    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
+    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    t_max = tmax_ref[0]
 
     def cond(state):
         ti, blocked, all_done = state
@@ -164,7 +134,7 @@ def _anyhit_kernel(rays_ref, tmax_ref, tris_ref, hit_ref, *, num_tris,
         cond, body,
         (jnp.int32(0), jnp.zeros((RAY_ROWS, RAY_COLS), bool), jnp.bool_(False)),
     )
-    hit_ref[...] = blocked
+    hit_ref[0] = blocked
 
 
 def _pack_rays(origins, dirs):
