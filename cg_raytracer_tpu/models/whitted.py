@@ -57,11 +57,29 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             occluded=lambda o, d, tm: occluded_bvh(scene, bvh, o, d, tm),
         )
     if kind == "pallas":
-        from ..ops.pallas_kernels import intersect_pallas, occluded_pallas
+        # Small scenes: tiled brute-force kernel.  Larger scenes: the
+        # tile-synchronous BVH traversal kernel (tree packed into VMEM).
+        if scene.num_triangles <= cfg.brute_force_max_tris:
+            from ..ops.pallas_kernels import intersect_pallas, occluded_pallas
 
+            return Backend(
+                closest=lambda o, d: intersect_pallas(scene, o, d),
+                occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
+            )
+        from ..ops.pallas_bvh import (intersect_pallas_bvh, occluded_pallas_bvh,
+                                      supports_pallas_bvh)
+
+        if not supports_pallas_bvh(scene):
+            raise ValueError(
+                f"pallas BVH backend supports <= {cfg.brute_force_max_tris} "
+                "VMEM-resident triangles; use backend='bvh' for this scene"
+            )
+        if bvh is None:
+            bvh = build_bvh(scene)
+        bvh_ = bvh
         return Backend(
-            closest=lambda o, d: intersect_pallas(scene, o, d),
-            occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
+            closest=lambda o, d: intersect_pallas_bvh(scene, bvh_, o, d),
+            occluded=lambda o, d, tm: occluded_pallas_bvh(scene, bvh_, o, d, tm),
         )
     raise ValueError(f"Unknown backend {kind!r}")
 

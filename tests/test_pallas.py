@@ -72,3 +72,39 @@ def test_spheres_tail(scenes):
     hb = intersect_brute(scene, o, d)
     hp = intersect_pallas(scene, o, d, interpret=True)
     assert (np.asarray(hb.prim_id) == np.asarray(hp.prim_id)).all()
+
+
+def test_pallas_bvh_matches_brute(scenes):
+    from cg_raytracer_tpu.ops.bvh import build_bvh
+    from cg_raytracer_tpu.ops.pallas_bvh import (intersect_pallas_bvh,
+                                                 occluded_pallas_bvh)
+
+    scene = scenes("monkey")
+    bvh = build_bvh(scene)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 32, 32)
+    hb = intersect_brute(scene, o, d)
+    hp = intersect_pallas_bvh(scene, bvh, o, d, interpret=True)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    tp = np.where(np.isinf(np.asarray(hp.t)), 1e9, np.asarray(hp.t))
+    assert np.isclose(tb, tp, atol=1e-4).mean() > 0.998
+    tm = jnp.full((o.shape[0],), 2.0, jnp.float32)
+    bb = np.asarray(occluded_brute(scene, o, d, tm))
+    bp = np.asarray(occluded_pallas_bvh(scene, bvh, o, d, tm, interpret=True))
+    assert (bb == bp).mean() > 0.998
+
+
+def test_pallas_bvh_oversized_leaves(scenes):
+    # Depth-capped tree -> leaves with dynamic counts > max_leaf inside the kernel.
+    from cg_raytracer_tpu.ops.bvh import build_bvh
+    from cg_raytracer_tpu.ops.pallas_bvh import intersect_pallas_bvh
+
+    scene = scenes("monkey")
+    bvh = build_bvh(scene, max_depth=4, max_leaf=4)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 16, 16)
+    hb = intersect_brute(scene, o, d)
+    hp = intersect_pallas_bvh(scene, bvh, o, d, interpret=True)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    tp = np.where(np.isinf(np.asarray(hp.t)), 1e9, np.asarray(hp.t))
+    assert np.isclose(tb, tp, atol=1e-4).all()
