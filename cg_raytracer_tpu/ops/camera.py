@@ -84,6 +84,41 @@ def pixel_ndc(height: int, width: int, offset=(0.0, 0.0)):
     return jnp.stack([px, py], axis=-1)
 
 
+ROTATION_SPEED_DEG_PER_PX = 0.3  # trackball.cpp:13
+TRANSLATION_SPEED = 0.005  # trackball.cpp:14
+ZOOM_SPEED = 0.5  # trackball.cpp:15
+
+
+def orbit(cam: Camera, delta_px):
+    """Left-drag orbit (trackball.cpp:138-141): pitch clamped to +-pi/2."""
+    import numpy as _np
+
+    dx, dy = delta_px
+    ex = jnp.clip(cam.euler[0] - jnp.radians(dy * ROTATION_SPEED_DEG_PER_PX),
+                  -_np.pi / 2, _np.pi / 2)
+    ey = cam.euler[1] - jnp.radians(dx * ROTATION_SPEED_DEG_PER_PX)
+    return Camera(look_at=cam.look_at, euler=jnp.stack([ex, ey, cam.euler[2]]),
+                  dist=cam.dist, fovy=cam.fovy, aspect=cam.aspect)
+
+
+def pan(cam: Camera, delta_px):
+    """Right-drag pan in the image plane (trackball.cpp:143-147)."""
+    dx, dy = delta_px
+    q = quat_from_euler(cam.euler)
+    left = quat_rotate(q, jnp.asarray([1.0, 0.0, 0.0]))
+    up = quat_rotate(q, jnp.asarray([0.0, 1.0, 0.0]))
+    look_at = cam.look_at + dx * TRANSLATION_SPEED * left - dy * TRANSLATION_SPEED * up
+    return Camera(look_at=look_at, euler=cam.euler, dist=cam.dist,
+                  fovy=cam.fovy, aspect=cam.aspect)
+
+
+def zoom(cam: Camera, scroll_y):
+    """Scroll zoom (trackball.cpp:152-157): dist clamped to [0.1, 100]."""
+    dist = jnp.clip(cam.dist - scroll_y * ZOOM_SPEED, 0.1, 100.0)
+    return Camera(look_at=cam.look_at, euler=cam.euler, dist=dist,
+                  fovy=cam.fovy, aspect=cam.aspect)
+
+
 def generate_rays(cam: Camera, height: int, width: int, offset=(0.0, 0.0)):
     """Vectorized ray grid: returns (origins [H*W, 3], dirs [H*W, 3]).
 

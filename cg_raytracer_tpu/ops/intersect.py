@@ -86,6 +86,20 @@ def moller_trumbore(origins, dirs, v0, v1, v2, eps: float = 1e-9):
     return t, u, v, valid
 
 
+def intersect_plane(origins, dirs, normal, d):
+    """Ray-plane intersection, parity with ``intersectRayWithPlane``
+    (ray_tracing.cpp:40-72): plane is dot(x, normal) == d; returns (t, valid) with
+    t >= 0 (behind-origin rejected), parallel rays invalid, origin-on-plane -> t=0.
+    """
+    denom = dot(dirs, normal)
+    num = d - dot(origins, normal)
+    on_plane = num == 0.0
+    t = jnp.where(jnp.abs(denom) > 0.0, num / jnp.where(denom == 0.0, 1.0, denom), -1.0)
+    t = jnp.where(on_plane, 0.0, t)
+    valid = on_plane | ((denom != 0.0) & (t >= 0.0))
+    return jnp.where(valid, t, INF), valid
+
+
 def intersect_spheres_one(origins, dirs, center, radius):
     """Ray-sphere quadratic, parity with ray_tracing.cpp:118-158.
 

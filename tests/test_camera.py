@@ -69,3 +69,22 @@ def test_generate_rays_shapes_and_unit_norm():
     # All origins equal the camera position (pinhole).
     pos = np.broadcast_to(np.asarray(camera_position(cam)), (128, 3))
     np.testing.assert_allclose(np.asarray(o), pos, atol=1e-6)
+
+
+def test_trackball_interactions():
+    from cg_raytracer_tpu.ops.camera import orbit, pan, zoom
+
+    cam = cgrt.Camera.default()
+    # Orbit changes euler only; pitch clamps at +-pi/2 (trackball.cpp:140).
+    c2 = orbit(cam, (10.0, -2000.0))
+    assert np.isclose(float(c2.euler[0]), np.pi / 2)
+    np.testing.assert_allclose(np.asarray(c2.look_at), np.asarray(cam.look_at))
+    # Pan moves look_at in the image plane, preserving dist/euler.
+    c3 = pan(cam, (100.0, 0.0))
+    assert not np.allclose(np.asarray(c3.look_at), np.asarray(cam.look_at))
+    assert np.allclose(np.asarray(c3.euler), np.asarray(cam.euler))
+    # Zoom clamps dist to [0.1, 100] (trackball.cpp:156).
+    c4 = zoom(cam, 1000.0)
+    assert np.isclose(float(c4.dist), 0.1)
+    c5 = zoom(cam, -1000.0)
+    assert np.isclose(float(c5.dist), 100.0)

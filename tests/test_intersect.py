@@ -131,3 +131,22 @@ def test_ray_t_bound_semantics():
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     hit = intersect_brute(scene, o, d, t_max=jnp.asarray([0.5]))
     assert int(hit.prim_id[0]) == -1
+
+
+def test_plane_intersector():
+    from cg_raytracer_tpu.ops.intersect import intersect_plane
+
+    n = jnp.asarray([0.0, 1.0, 0.0])
+    o = jnp.asarray([[0.0, 2.0, 0.0], [0.0, 2.0, 0.0], [0.0, 1.0, 0.0],
+                     [0.0, 2.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0],
+                     [1.0, 0.0, 0.0]], jnp.float32)
+    t, ok = intersect_plane(o, d, n, jnp.float32(1.0))
+    # Hit from above at t=1 (plane y=1).
+    assert bool(ok[0]) and np.isclose(float(t[0]), 1.0)
+    # Pointing away -> behind-origin reject (ray_tracing.cpp:59-62).
+    assert not bool(ok[1])
+    # Origin on the plane -> t=0 (ray_tracing.cpp:43-47).
+    assert bool(ok[2]) and float(t[2]) == 0.0
+    # Parallel, off-plane -> miss (ray_tracing.cpp:51-54).
+    assert not bool(ok[3])
