@@ -10,6 +10,9 @@ import sys
 
 
 def main() -> int:
+    from cg_raytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cg_raytracer_tpu.utils.bench import run_bench
 
     result = run_bench(scene="cornell_box", width=1024, height=1024,

@@ -84,10 +84,13 @@ def cmd_render(args) -> int:
     # renderRayTracing, main.cpp:792-796 — compile time excluded like its BVH build).
     img = render(scene, camera, cfg, key=key)
     jax.block_until_ready(img)
-    t0 = time.perf_counter()
-    img = render(scene, camera, cfg, key=key)
-    jax.block_until_ready(img)
-    ms = (time.perf_counter() - t0) * 1e3
+    from .utils.profiling import profiler_trace
+
+    with profiler_trace(getattr(args, "profile", None)):
+        t0 = time.perf_counter()
+        img = render(scene, camera, cfg, key=key)
+        jax.block_until_ready(img)
+        ms = (time.perf_counter() - t0) * 1e3
     print(f"Time to render image: {ms:.2f} milliseconds")
     rays = cfg.width * cfg.height
     print(f"{rays / (ms / 1e3):.3e} primary rays/s")
@@ -142,6 +145,8 @@ def main(argv=None) -> int:
     p_render = sub.add_parser("render", help="render a scene to an image file")
     _add_common(p_render)
     p_render.add_argument("--output", "-o", default="render.png")
+    p_render.add_argument("--profile", default=None, metavar="DIR",
+                          help="write a jax.profiler trace of the timed render")
     p_render.set_defaults(fn=cmd_render)
 
     p_opt = sub.add_parser("optimize", help="inverse rendering against a target image")
@@ -162,6 +167,9 @@ def main(argv=None) -> int:
         __import__("cg_raytracer_tpu").SCENE_NAMES)), 0)[1])
 
     args = parser.parse_args(argv)
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

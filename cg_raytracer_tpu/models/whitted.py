@@ -184,10 +184,17 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     return img
 
 
+def needs_bvh(cfg: RenderConfig, num_tris: int) -> bool:
+    """Whether the resolved backend requires a prebuilt BVH (host-side build —
+    must happen outside jit)."""
+    kind = cfg.resolve_backend(num_tris)
+    return kind == "bvh" or (kind == "pallas" and num_tris > cfg.brute_force_max_tris)
+
+
 def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool = True,
            bvh: Optional[BVH] = None):
     """User-facing render entry point; jits over (scene, camera) with cfg static."""
-    if bvh is None and cfg.resolve_backend(scene.num_triangles) == "bvh":
+    if bvh is None and needs_bvh(cfg, scene.num_triangles):
         bvh = build_bvh(scene)
     if key is None:
         key = jax.random.PRNGKey(0)

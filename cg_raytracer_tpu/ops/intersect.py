@@ -272,6 +272,12 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
     camera — parity with ray_tracing.cpp:94-106 (barycentric normal interpolation +
     ``dot(faceNormal, -dir) > 0`` facing flip).  Sphere hits recompute the quadratic
     and use the geometric normal (ray_tracing.cpp:156).
+
+    Gather layout: all per-triangle attributes (3 vertices, 3 normals, material) are
+    packed into one [T, 25] table so each ray does a *single* wide row gather — on
+    TPU one [N, 25] gather is far cheaper than 7+ separate [N, 3] gathers (the
+    gather is differentiable, so vertex/normal/material grads flow through the pack
+    and transpose back as scatter-adds).
     """
     num_tris = scene.num_triangles
     prim = jax.lax.stop_gradient(hit.prim_id)
@@ -281,20 +287,30 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
 
     tri_ids = jnp.clip(prim, 0, max(num_tris - 1, 0))
     if num_tris > 0:
-        v0, v1, v2, tris = _gather_tri_vertices(scene, tri_ids)
+        tris = scene.triangles
+        mat_id_all = scene.tri_material
+        packed = jnp.concatenate(
+            [
+                scene.vertices[tris[:, 0]], scene.vertices[tris[:, 1]],
+                scene.vertices[tris[:, 2]],
+                scene.normals[tris[:, 0]], scene.normals[tris[:, 1]],
+                scene.normals[tris[:, 2]],
+                scene.materials.kd[mat_id_all], scene.materials.ks[mat_id_all],
+                scene.materials.shininess[mat_id_all][:, None],
+            ],
+            axis=1,
+        )  # [T, 28]
+        row = packed[tri_ids]  # [N, 28] — the single per-ray gather
+        v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+        kd_tri, ks_tri = row[..., 18:21], row[..., 21:24]
+        shin_tri = row[..., 24]
         t_tri, u, v, _ = moller_trumbore(origins, dirs, v0, v1, v2)
-        n0 = scene.normals[tris[..., 0]]
-        n1 = scene.normals[tris[..., 1]]
-        n2 = scene.normals[tris[..., 2]]
         w0 = 1.0 - u - v
         n_interp = safe_normalize(w0[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
         face_n = safe_normalize(jnp.cross(v1 - v0, v2 - v0))
         facing = dot(face_n, -dirs) > 0.0
         n_tri = jnp.where(facing[..., None], n_interp, -n_interp)
-        mat_id = scene.tri_material[tri_ids]
-        kd_tri = scene.materials.kd[mat_id]
-        ks_tri = scene.materials.ks[mat_id]
-        shin_tri = scene.materials.shininess[mat_id]
     else:
         t_tri = jnp.zeros_like(hit.t)
         n_tri = jnp.zeros_like(origins)

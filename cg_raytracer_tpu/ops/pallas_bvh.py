@@ -61,8 +61,10 @@ def _slab_tile(ox, oy, oz, ix, iy, iz, lo0, lo1, lo2, hi0, hi1, hi2):
 
 def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
                 t_ref, slot_ref, u_ref, v_ref, stack_ref, *, any_hit: bool):
-    """nodesf: [Nn, 8] (lo xyz, hi xyz, pad, pad) f32; nodesi: [Nn, 4]
-    (left, right, first, count) i32; tris: [T, 9] f32; stack: SMEM [MAX_STACK] i32.
+    """Component-major tables (lane dim = node/tri index, so VMEM does not pad a
+    small trailing dim to 128 lanes): nodesf [6, Nn] (lo xyz, hi xyz) f32;
+    nodesi [4, Nn] (left, right, first, count) i32; tris [9, T] f32;
+    stack: SMEM [MAX_STACK] i32.
     """
     ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
@@ -72,8 +74,8 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
     stack_ref[0] = jnp.int32(0)
 
     def node_aabb(ni):
-        return (nodesf_ref[ni, 0], nodesf_ref[ni, 1], nodesf_ref[ni, 2],
-                nodesf_ref[ni, 3], nodesf_ref[ni, 4], nodesf_ref[ni, 5])
+        return (nodesf_ref[0, ni], nodesf_ref[1, ni], nodesf_ref[2, ni],
+                nodesf_ref[3, ni], nodesf_ref[4, ni], nodesf_ref[5, ni])
 
     def cond(c):
         sp, t_best, slot, u, v, done = c
@@ -89,15 +91,16 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
         hit = hit & (tin <= t_best + tpad)
         visit = jnp.any(hit)
 
-        cnt = nodesi_ref[ni, 3]
-        first = nodesi_ref[ni, 2]
+        cnt = nodesi_ref[3, ni]
+        first = nodesi_ref[2, ni]
         is_leaf = cnt > 0
 
         # --- leaf path: dynamic-count triangle loop, masked by the tile visit ---
         def leaf_fn(carry):
             def tri_body(k, lc):
                 t_b, sl, uu, vv = lc
-                tri = tris_ref[first + k]
+                idx = first + k
+                tri = [tris_ref[j, idx] for j in range(9)]
                 t, u_, v_, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
                 closer = valid & (t < t_b)
                 return (
@@ -117,8 +120,8 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
             done = done | jnp.all(slot >= 0)
 
         # --- internal path: test both children, push far then near ---
-        li = nodesi_ref[ni, 0]
-        ri = nodesi_ref[ni, 1]
+        li = nodesi_ref[0, ni]
+        ri = nodesi_ref[1, ni]
         do_int = visit & jnp.logical_not(is_leaf)
         l_lo0, l_lo1, l_lo2, l_hi0, l_hi1, l_hi2 = node_aabb(jnp.maximum(li, 0))
         r_lo0, r_lo1, r_lo2, r_hi0, r_hi1, r_hi2 = node_aabb(jnp.maximum(ri, 0))
@@ -165,12 +168,9 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
 
 
 def _pack_tree(bvh: BVH):
-    nodesf = jnp.concatenate(
-        [bvh.node_lo, bvh.node_hi, jnp.zeros((bvh.node_lo.shape[0], 2), jnp.float32)],
-        axis=1,
-    )  # [Nn, 8]
-    nodesi = jnp.stack([bvh.left, bvh.right, bvh.first, bvh.count], axis=1)  # [Nn,4]
-    tris = jnp.concatenate([bvh.tv0, bvh.tv1, bvh.tv2], axis=1)  # [T, 9]
+    nodesf = jnp.concatenate([bvh.node_lo, bvh.node_hi], axis=1).T  # [6, Nn]
+    nodesi = jnp.stack([bvh.left, bvh.right, bvh.first, bvh.count], axis=0)  # [4,Nn]
+    tris = jnp.concatenate([bvh.tv0, bvh.tv1, bvh.tv2], axis=1).T  # [9, T]
     return nodesf, nodesi, tris
 
 

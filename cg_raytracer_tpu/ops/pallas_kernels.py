@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.types import Scene
 from .intersect import MISS, Hit, intersect_spheres_one
 
-RAY_ROWS = 8
+RAY_ROWS = 64  # 8192 rays/program: amortizes per-program setup over the tri loop
 RAY_COLS = 128
 RAY_TILE = RAY_ROWS * RAY_COLS
 
@@ -77,9 +77,12 @@ def _mt_tile(ox, oy, oz, dx, dy, dz, tri):
     return t, u, v, valid
 
 
+UNROLL_MAX_TRIS = 256  # full static unroll below this: no dynamic indexing at all
+
+
 def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
                           v_ref, *, num_tris):
-    """rays_ref block: (1, 6, 8, 128) [ox oy oz dx dy dz]; tris_ref: (T, 9) VMEM."""
+    """rays_ref block: (1, 6, R, 128) [ox oy oz dx dy dz]; tris_ref: (T, 9) VMEM."""
     ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
 
@@ -102,7 +105,15 @@ def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
             jnp.where(closer, v, v_best),
         )
 
-    t_best, slot, u_best, v_best = jax.lax.fori_loop(0, num_tris, body, init)
+    if num_tris <= UNROLL_MAX_TRIS:
+        # Static unroll: every triangle index is a compile-time constant, so loads
+        # are direct addresses and Mosaic can software-pipeline the whole sweep.
+        carry = init
+        for ti in range(num_tris):
+            carry = body(ti, carry)
+        t_best, slot, u_best, v_best = carry
+    else:
+        t_best, slot, u_best, v_best = jax.lax.fori_loop(0, num_tris, body, init)
     t_ref[0] = t_best
     slot_ref[0] = slot
     u_ref[0] = u_best
@@ -117,24 +128,35 @@ def _anyhit_kernel(rays_ref, tmax_ref, tris_ref, hit_ref, *, num_tris,
     dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     t_max = tmax_ref[0]
 
-    def cond(state):
-        ti, blocked, all_done = state
-        return (ti < num_tris) & jnp.logical_not(all_done)
-
-    def body(state):
-        ti, blocked, _ = state
+    # The running occlusion mask is carried as int32 (Mosaic cannot legalize an
+    # i1-vector loop carry), converted to bool only at the final store.
+    def step(ti, blocked):
         tri = tris_ref[ti]
         t, _, _, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
-        blocked = blocked | (valid & (t < t_max))
-        check = (ti % check_every) == (check_every - 1)
-        all_done = check & jnp.all(blocked)
-        return ti + 1, blocked, all_done
+        return jnp.maximum(blocked, (valid & (t < t_max)).astype(jnp.int32))
 
-    _, blocked, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.zeros((RAY_ROWS, RAY_COLS), bool), jnp.bool_(False)),
-    )
-    hit_ref[0] = blocked
+    if num_tris <= UNROLL_MAX_TRIS:
+        blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+        for ti in range(num_tris):
+            blocked = step(ti, blocked)
+    else:
+        def cond(state):
+            ti, blocked, all_done = state
+            return (ti < num_tris) & jnp.logical_not(all_done)
+
+        def body(state):
+            ti, blocked, _ = state
+            blocked = step(ti, blocked)
+            check = (ti % check_every) == (check_every - 1)
+            all_done = check & (jnp.min(blocked) > 0)
+            return ti + 1, blocked, all_done
+
+        _, blocked, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32),
+             jnp.bool_(False)),
+        )
+    hit_ref[0] = blocked > 0
 
 
 def _pack_rays(origins, dirs):

@@ -106,7 +106,9 @@ def optimize(
     # optimization (the oracle only depends on geometry).  For vertex optimization
     # use backend='brute' so the acceleration structure never goes stale.
     bvh = None
-    if cfg.resolve_backend(scene.num_triangles) == "bvh":
+    from ..models.whitted import needs_bvh
+
+    if needs_bvh(cfg, scene.num_triangles):
         from ..ops.bvh import build_bvh
 
         bvh = build_bvh(scene)

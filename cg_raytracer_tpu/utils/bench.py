@@ -31,7 +31,7 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
               backend: str = "auto", include_bwd: bool = True, iters: int = 5,
               max_depth: int = 2, data_dir: Optional[str] = None) -> dict:
     from .. import Camera, RenderConfig, load_scene
-    from ..models.whitted import make_backend, render_image
+    from ..models.whitted import make_backend, needs_bvh, render_image
     from ..ops.bvh import build_bvh
     from ..optim.inverse import apply_material_params, material_params
 
@@ -40,7 +40,7 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
                        backend=backend)
     camera = Camera.default(aspect=width / height)
     key = jax.random.PRNGKey(0)
-    bvh = build_bvh(scn) if cfg.resolve_backend(scn.num_triangles) == "bvh" else None
+    bvh = build_bvh(scn) if needs_bvh(cfg, scn.num_triangles) else None
 
     if include_bwd:
         params = material_params(scn)

@@ -27,7 +27,18 @@ class RenderConfig:
     # auto backend: brute force below this triangle count, BVH above.
     brute_force_max_tris: int = 4096
 
-    def resolve_backend(self, num_tris: int) -> str:
+    def resolve_backend(self, num_tris: int, platform: str | None = None) -> str:
         if self.backend != "auto":
             return self.backend
+        if platform is None:
+            import jax
+
+            platform = jax.default_backend()
+        if platform == "tpu":
+            # Compiled Pallas kernels beat the XLA-fused paths on TPU; the
+            # VMEM-resident BVH kernel covers up to ~120K triangles, beyond which
+            # the jnp traversal takes over.
+            from ..ops.pallas_bvh import VMEM_MAX_TRIS
+
+            return "pallas" if num_tris <= VMEM_MAX_TRIS else "bvh"
         return "brute" if num_tris <= self.brute_force_max_tris else "bvh"

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Reproduce the reference's performance table (report.pdf §9 Table 2) on TPU.
+
+Same conditions as the reference: 800x800, Whitted depth 2, point/spherical lights
+per scene preset; soft shadows use the reference's 200 samples.  Prints one JSON
+line per scene with the wall-clock and the speedup vs the reference's CPU time
+(BASELINE.md).  The Dragon row uses the procedural stand-in (dragon.obj was
+stripped from the reference repo); Teacup/Donut rows are skipped (their data files
+were never committed).
+"""
+import json
+import time
+
+import jax
+
+REFERENCE_MS = {
+    "cornell_box": 168.0,
+    "cornell_box_spherical_light": 48_500.0,
+    "monkey": 500.0,
+    "dragon": 500.0,
+    "custom": None,  # reference custom = teacup (0.43 s), data not in repo
+}
+
+
+def main():
+    from cg_raytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import cg_raytracer_tpu as cgrt
+
+    cam = cgrt.Camera.default()
+    for name, ref_ms in REFERENCE_MS.items():
+        try:
+            scene = cgrt.load_scene(name)
+        except FileNotFoundError:
+            print(json.dumps({"scene": name, "skipped": "data file missing"}))
+            continue
+        cfg = cgrt.RenderConfig(width=800, height=800)
+        img = cgrt.render(scene, cam, cfg)
+        jax.block_until_ready(img)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            img = cgrt.render(scene, cam, cfg)
+            jax.block_until_ready(img)
+            ts.append(time.perf_counter() - t0)
+        ms = min(ts) * 1e3
+        rec = {"scene": name, "tris": scene.num_triangles, "ms": round(ms, 2),
+               "reference_ms": ref_ms}
+        if ref_ms:
+            rec["speedup_vs_reference"] = round(ref_ms / ms, 2)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
