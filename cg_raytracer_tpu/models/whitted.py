@@ -66,20 +66,22 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 closest=lambda o, d: intersect_pallas(scene, o, d),
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
             )
-        from ..ops.pallas_bvh import (intersect_pallas_bvh, occluded_pallas_bvh,
+        from ..ops.pallas_bvh import (PackedBVH, build_packed_bvh,
+                                      intersect_pallas_bvh, occluded_pallas_bvh,
                                       supports_pallas_bvh)
 
         if not supports_pallas_bvh(scene):
             raise ValueError(
-                f"pallas BVH backend supports <= {cfg.brute_force_max_tris} "
-                "VMEM-resident triangles; use backend='bvh' for this scene"
+                "pallas BVH backend requires a VMEM-resident scene; "
+                "use backend='bvh' for this scene"
             )
-        if bvh is None:
-            bvh = build_bvh(scene)
-        bvh_ = bvh
+        if not isinstance(bvh, PackedBVH):
+            # Host-side packing — must happen outside jit (build_accel does this).
+            _, bvh = build_packed_bvh(scene)
+        packed = bvh
         return Backend(
-            closest=lambda o, d: intersect_pallas_bvh(scene, bvh_, o, d),
-            occluded=lambda o, d, tm: occluded_pallas_bvh(scene, bvh_, o, d, tm),
+            closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d),
+            occluded=lambda o, d, tm: occluded_pallas_bvh(scene, packed, o, d, tm),
         )
     raise ValueError(f"Unknown backend {kind!r}")
 
@@ -185,17 +187,30 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
 
 
 def needs_bvh(cfg: RenderConfig, num_tris: int) -> bool:
-    """Whether the resolved backend requires a prebuilt BVH (host-side build —
-    must happen outside jit)."""
+    """Whether the resolved backend requires a prebuilt acceleration structure
+    (host-side build — must happen outside jit)."""
     kind = cfg.resolve_backend(num_tris)
     return kind == "bvh" or (kind == "pallas" and num_tris > cfg.brute_force_max_tris)
 
 
+def build_accel(scene: Scene, cfg: RenderConfig):
+    """Host-side acceleration-structure build for the resolved backend: a BVH for
+    the jnp traversal, a PackedBVH for the Pallas kernel, or None."""
+    kind = cfg.resolve_backend(scene.num_triangles)
+    if kind == "bvh":
+        return build_bvh(scene)
+    if kind == "pallas" and scene.num_triangles > cfg.brute_force_max_tris:
+        from ..ops.pallas_bvh import build_packed_bvh
+
+        return build_packed_bvh(scene)[1]
+    return None
+
+
 def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool = True,
-           bvh: Optional[BVH] = None):
+           bvh=None):
     """User-facing render entry point; jits over (scene, camera) with cfg static."""
     if bvh is None and needs_bvh(cfg, scene.num_triangles):
-        bvh = build_bvh(scene)
+        bvh = build_accel(scene, cfg)
     if key is None:
         key = jax.random.PRNGKey(0)
 

@@ -5,45 +5,132 @@ Reference capability: the recursive ordered BVH descent
 single hottest loop.
 
 TPU-native design (this is *not* a port of the recursion): one grid program owns a
-coherent tile of 1024 rays ((8,128) VPU registers).  The whole tile walks the tree
-in lockstep with a single scalar stack in SMEM: a node is visited iff *any* ray in
-the tile hits its AABB below its current-best t (a conservative tile-frustum test
-evaluated exactly, per ray, on the VPU).  Leaf triangle tests broadcast each
-triangle from VMEM over the tile exactly like the brute-force kernel.  Child visit
-order is chosen once per tile by comparing the minimum entry-t over the hitting
-rays — the vector analogue of the reference's near-to-far ordering
-(bvh.cpp:572-595).
+coherent tile of RAY_TILE rays ((64,128) VPU registers).  The whole tile walks the
+tree in lockstep with a single scalar stack in SMEM: a node is visited iff *any*
+ray in the tile hits its AABB below its current-best t.  Child visit order is
+chosen once per tile by the minimum entry-t over the hitting rays — the vector
+analogue of the reference's near-to-far ordering (bvh.cpp:572-595).
 
-Coherent primary/shadow tiles visit close to the per-ray-optimal node set; the
-worst case (fully incoherent tile) degrades toward brute force over the leaves hit
-by any ray, never worse than the brute kernel by more than the node tests.
+Memory layout (the part that makes this compile *and* fit):
 
-Tree + triangles live in VMEM (flattened SoA packed into two tables), which bounds
-supported scene size to ~100K triangles per kernel instance; larger scenes fall
-back to the jnp while-loop traversal (ops/bvh.py) until the HBM-resident DMA
-variant lands.
+- Mosaic only supports dynamic indexing on the *sublane* (row) dimension of a VMEM
+  ref, and pads the lane (last) dimension to 128.  So every table is row-indexed
+  by node/row id with all per-row payload packed into lanes:
+
+  * ``nodes [Nn, 12]`` f32 rows: lo.xyz, hi.xyz, left, right, leaf_row_first,
+    leaf_row_count, childL?  — integer fields stored as exact small floats
+    (< 2^24) and cast back in-kernel.
+  * ``tri_rows [R, 126]`` f32 rows: 14 triangles x 9 coords per row.  Leaves are
+    padded to whole rows with degenerate (all-zero) triangles, which can never
+    pass Moller-Trumbore (det == 0).  This packs ~36 B/triangle instead of the
+    512 B/triangle a naive [T, 9] row layout pads to — the difference between a
+    dragon-sized scene fitting in VMEM or not.
+
+- The packed layout is precomputed host-side at BVH build time
+  (``pack_bvh_rows``) and carried as device arrays.
+
+Capacity: nodes + tri rows must fit in ~12 MB of VMEM => ~200K triangles with
+16-triangle leaves; beyond that the jnp while-loop traversal (ops/bvh.py) takes
+over until an HBM-resident DMA variant lands.
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.types import Scene
-from .bvh import BVH, _SLAB_EPS
+from .bvh import BVH, _SLAB_EPS, build_bvh
 from .intersect import MISS, Hit, intersect_spheres_one
-from .pallas_kernels import (RAY_COLS, RAY_ROWS, RAY_TILE, _mt_tile, _pack_rays)
+from .pallas_kernels import RAY_COLS, RAY_ROWS, RAY_TILE, _mt_tile, _pack_rays
 
 MAX_STACK = 64
-# VMEM budget gate: nodes (8 f32) + tris (9 f32) must fit comfortably in ~16 MB.
-VMEM_MAX_TRIS = 120_000
+TRIS_PER_ROW = 14  # 14 * 9 = 126 lanes used of 128
+PALLAS_BVH_MAX_LEAF = 14  # one full row per leaf by default
+VMEM_MAX_TRIS = 200_000
+
+
+class PackedBVH(NamedTuple):
+    """Host-packed, kernel-ready layout (see module docstring)."""
+
+    nodes: jax.Array  # [Nn, 12] f32
+    tri_rows: jax.Array  # [R, 126] f32
+    slot_to_prim: jax.Array  # [R * 14] i32 (-1 on padding)
+    num_nodes: int
+
+
+def _pack_flatten(p: PackedBVH):
+    return (p.nodes, p.tri_rows, p.slot_to_prim), p.num_nodes
+
+
+jax.tree_util.register_pytree_node(
+    PackedBVH, _pack_flatten, lambda aux, ch: PackedBVH(*ch, num_nodes=aux)
+)
+
+
+def pack_bvh_rows(bvh: BVH) -> PackedBVH:
+    """Host-side repack of a flat BVH into the kernel layout."""
+    node_lo = np.asarray(bvh.node_lo)
+    node_hi = np.asarray(bvh.node_hi)
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    first = np.asarray(bvh.first)
+    count = np.asarray(bvh.count)
+    order = np.asarray(bvh.tri_order)
+    tv = np.concatenate(
+        [np.asarray(bvh.tv0), np.asarray(bvh.tv1), np.asarray(bvh.tv2)], axis=1
+    )  # [T, 9] in reordered slot order
+
+    nn = left.shape[0]
+    leaf = count > 0
+    n_rows_per = np.where(leaf, -(-count // TRIS_PER_ROW), 0)
+    row_first = np.zeros(nn, np.int64)
+    row_first[leaf] = np.cumsum(n_rows_per[leaf]) - n_rows_per[leaf]
+    total_rows = int(n_rows_per.sum())
+
+    tri_rows = np.zeros((max(total_rows, 1), TRIS_PER_ROW * 9), np.float32)
+    slot_to_prim = np.full((max(total_rows, 1) * TRIS_PER_ROW,), -1, np.int32)
+    for ni in np.where(leaf)[0]:
+        f, c, rf = int(first[ni]), int(count[ni]), int(row_first[ni])
+        block = tv[f:f + c]  # [c, 9]
+        nrow = int(n_rows_per[ni])
+        padded = np.zeros((nrow * TRIS_PER_ROW, 9), np.float32)
+        padded[:c] = block
+        tri_rows[rf:rf + nrow] = padded.reshape(nrow, TRIS_PER_ROW * 9)
+        slot_to_prim[rf * TRIS_PER_ROW:rf * TRIS_PER_ROW + c] = order[f:f + c]
+
+    # All integer payloads < 2^24, stored as exact floats.
+    nodes = np.zeros((nn, 12), np.float32)
+    nodes[:, 0:3] = node_lo
+    nodes[:, 3:6] = node_hi
+    nodes[:, 6] = np.maximum(left, 0)
+    nodes[:, 7] = np.maximum(right, 0)
+    nodes[:, 8] = row_first
+    nodes[:, 9] = n_rows_per
+    nodes[:, 10] = leaf.astype(np.float32)
+    assert nn < (1 << 24) and total_rows * TRIS_PER_ROW < (1 << 24)
+
+    return PackedBVH(
+        nodes=jnp.asarray(nodes),
+        tri_rows=jnp.asarray(tri_rows),
+        slot_to_prim=jnp.asarray(slot_to_prim),
+        num_nodes=nn,
+    )
+
+
+def build_packed_bvh(scene: Scene, max_leaf: int = PALLAS_BVH_MAX_LEAF):
+    """Build a BVH tuned for the Pallas kernel (full-row leaves) + its packing."""
+    bvh = build_bvh(scene, max_leaf=max_leaf)
+    return bvh, pack_bvh_rows(bvh)
 
 
 def _slab_tile(ox, oy, oz, ix, iy, iz, lo0, lo1, lo2, hi0, hi1, hi2):
-    """Per-ray slab test of one AABB (6 scalars) against the (8,128) tile."""
+    """Per-ray slab test of one AABB (6 scalars) against the ray tile."""
     t0x = (lo0 - ox) * ix
     t1x = (hi0 - ox) * ix
     t0y = (lo1 - oy) * iy
@@ -59,23 +146,14 @@ def _slab_tile(ox, oy, oz, ix, iy, iz, lo0, lo1, lo2, hi0, hi1, hi2):
     return tin, hit
 
 
-def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
-                t_ref, slot_ref, u_ref, v_ref, stack_ref, *, any_hit: bool):
-    """Component-major tables (lane dim = node/tri index, so VMEM does not pad a
-    small trailing dim to 128 lanes): nodesf [6, Nn] (lo xyz, hi xyz) f32;
-    nodesi [4, Nn] (left, right, first, count) i32; tris [9, T] f32;
-    stack: SMEM [MAX_STACK] i32.
-    """
+def _bvh_kernel(rays_ref, tmax_ref, nodes_ref, tris_ref, t_ref, slot_ref,
+                u_ref, v_ref, stack_ref, *, any_hit: bool):
     ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
     dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     t0 = tmax_ref[0]
 
     stack_ref[0] = jnp.int32(0)
-
-    def node_aabb(ni):
-        return (nodesf_ref[0, ni], nodesf_ref[1, ni], nodesf_ref[2, ni],
-                nodesf_ref[3, ni], nodesf_ref[4, ni], nodesf_ref[5, ni])
 
     def cond(c):
         sp, t_best, slot, u, v, done = c
@@ -85,56 +163,59 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
         sp, t_best, slot, u, v, done = c
         sp = sp - 1
         ni = stack_ref[sp]
-        lo0, lo1, lo2, hi0, hi1, hi2 = node_aabb(ni)
-        tin, hit = _slab_tile(ox, oy, oz, ix, iy, iz, lo0, lo1, lo2, hi0, hi1, hi2)
+        row = nodes_ref[ni]  # (12,) vector; static lane extracts below
+        tin, hit = _slab_tile(ox, oy, oz, ix, iy, iz,
+                              row[0], row[1], row[2], row[3], row[4], row[5])
         tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
         hit = hit & (tin <= t_best + tpad)
         visit = jnp.any(hit)
 
-        cnt = nodesi_ref[3, ni]
-        first = nodesi_ref[2, ni]
-        is_leaf = cnt > 0
+        is_leaf = row[10] > 0.5
+        row_first = row[8].astype(jnp.int32)
+        n_rows = row[9].astype(jnp.int32)
 
-        # --- leaf path: dynamic-count triangle loop, masked by the tile visit ---
+        # --- leaf: loop whole 14-triangle rows (padding tris are degenerate) ---
         def leaf_fn(carry):
-            def tri_body(k, lc):
+            def row_body(r, lc):
                 t_b, sl, uu, vv = lc
-                idx = first + k
-                tri = [tris_ref[j, idx] for j in range(9)]
-                t, u_, v_, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
-                closer = valid & (t < t_b)
-                return (
-                    jnp.where(closer, t, t_b),
-                    jnp.where(closer, first + k, sl),
-                    jnp.where(closer, u_, uu),
-                    jnp.where(closer, v_, vv),
-                )
+                trow = tris_ref[row_first + r]  # (126,) vector
+                for k in range(TRIS_PER_ROW):
+                    tri = [trow[9 * k + j] for j in range(9)]
+                    t, u_, v_, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+                    closer = valid & (t < t_b)
+                    slot_k = (row_first + r) * TRIS_PER_ROW + k
+                    t_b = jnp.where(closer, t, t_b)
+                    sl = jnp.where(closer, slot_k, sl)
+                    uu = jnp.where(closer, u_, uu)
+                    vv = jnp.where(closer, v_, vv)
+                return t_b, sl, uu, vv
 
-            return jax.lax.fori_loop(0, cnt, tri_body, carry)
+            return jax.lax.fori_loop(0, n_rows, row_body, carry)
 
         do_leaf = visit & is_leaf
         t_best, slot, u, v = jax.lax.cond(
             do_leaf, leaf_fn, lambda carry: carry, (t_best, slot, u, v)
         )
         if any_hit:
-            done = done | jnp.all(slot >= 0)
+            # Early exit once every live ray is occluded (padded rays carry
+            # t_max < 0 and can never record a hit, so they are exempted).
+            done = done | jnp.all((slot >= 0) | (t0 < 0.0))
 
-        # --- internal path: test both children, push far then near ---
-        li = nodesi_ref[0, ni]
-        ri = nodesi_ref[1, ni]
+        # --- internal: test both children, push far then near ---
+        li = row[6].astype(jnp.int32)
+        ri = row[7].astype(jnp.int32)
         do_int = visit & jnp.logical_not(is_leaf)
-        l_lo0, l_lo1, l_lo2, l_hi0, l_hi1, l_hi2 = node_aabb(jnp.maximum(li, 0))
-        r_lo0, r_lo1, r_lo2, r_hi0, r_hi1, r_hi2 = node_aabb(jnp.maximum(ri, 0))
-        tl, hl = _slab_tile(ox, oy, oz, ix, iy, iz, l_lo0, l_lo1, l_lo2,
-                            l_hi0, l_hi1, l_hi2)
-        tr, hr = _slab_tile(ox, oy, oz, ix, iy, iz, r_lo0, r_lo1, r_lo2,
-                            r_hi0, r_hi1, r_hi2)
+        lrow = nodes_ref[li]
+        rrow = nodes_ref[ri]
+        tl, hl = _slab_tile(ox, oy, oz, ix, iy, iz,
+                            lrow[0], lrow[1], lrow[2], lrow[3], lrow[4], lrow[5])
+        tr, hr = _slab_tile(ox, oy, oz, ix, iy, iz,
+                            rrow[0], rrow[1], rrow[2], rrow[3], rrow[4], rrow[5])
         tpad2 = _SLAB_EPS * (1.0 + jnp.abs(t_best))
         hl = hl & (tl <= t_best + tpad2)
         hr = hr & (tr <= t_best + tpad2)
         any_l = do_int & jnp.any(hl)
         any_r = do_int & jnp.any(hr)
-        # Tile-level near/far: min entry-t over the hitting rays.
         big = jnp.float32(3.4e38)
         min_tl = jnp.min(jnp.where(hl, tl, big))
         min_tr = jnp.min(jnp.where(hr, tr, big))
@@ -143,8 +224,6 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
         far_i = jnp.where(left_near, ri, li)
         near_any = jnp.where(left_near, any_l, any_r)
         far_any = jnp.where(left_near, any_r, any_l)
-        # Unconditional writes + conditional sp increments (same scheme as the jnp
-        # traversal): far first so near pops first.
         stack_ref[sp] = far_i
         sp = sp + jnp.where(far_any, 1, 0)
         stack_ref[sp] = jnp.where(near_any, near_i, stack_ref[sp])
@@ -167,16 +246,8 @@ def _bvh_kernel(rays_ref, tmax_ref, nodesf_ref, nodesi_ref, tris_ref,
     v_ref[0] = v
 
 
-def _pack_tree(bvh: BVH):
-    nodesf = jnp.concatenate([bvh.node_lo, bvh.node_hi], axis=1).T  # [6, Nn]
-    nodesi = jnp.stack([bvh.left, bvh.right, bvh.first, bvh.count], axis=0)  # [4,Nn]
-    tris = jnp.concatenate([bvh.tv0, bvh.tv1, bvh.tv2], axis=1).T  # [9, T]
-    return nodesf, nodesi, tris
-
-
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _bvh_call(rays, tmax_tiles, nodesf, nodesi, tris, any_hit=False,
-              interpret=False):
+def _bvh_call(rays, tmax_tiles, nodes, tri_rows, any_hit=False, interpret=False):
     g = rays.shape[0]
     kernel = functools.partial(_bvh_kernel, any_hit=any_hit)
     tile = lambda i: (i, 0, 0)
@@ -195,7 +266,6 @@ def _bvh_call(rays, tmax_tiles, nodesf, nodesi, tris, any_hit=False,
             pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM)
@@ -203,7 +273,7 @@ def _bvh_call(rays, tmax_tiles, nodesf, nodesi, tris, any_hit=False,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
         interpret=interpret,
-    )(rays, tmax_tiles, nodesf, nodesi, tris)
+    )(rays, tmax_tiles, nodes, tri_rows)
 
 
 def _default_interpret() -> bool:
@@ -214,69 +284,68 @@ def supports_pallas_bvh(scene: Scene) -> bool:
     return 0 < scene.num_triangles <= VMEM_MAX_TRIS
 
 
-def intersect_pallas_bvh(scene: Scene, bvh: BVH, origins, dirs, t_max=None,
-                         interpret: bool | None = None) -> Hit:
-    """Closest-hit through the Pallas tile-synchronous BVH kernel (+ jnp spheres)."""
-    if interpret is None:
-        interpret = _default_interpret()
+def _run(scene: Scene, packed: PackedBVH, origins, dirs, t_max, any_hit,
+         interpret):
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
-    num_tris = scene.num_triangles
     rays, n, g = _pack_rays(origins, dirs)
     if t_max is None:
         tm = jnp.full((n,), jnp.inf, jnp.float32)
     else:
-        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+        tm = jnp.broadcast_to(jax.lax.stop_gradient(t_max), (n,)).astype(jnp.float32)
     tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
-    nodesf, nodesi, tris = _pack_tree(bvh)
-    t, slot, u, v = _bvh_call(rays, tm_tiles, nodesf, nodesi, tris,
-                              any_hit=False, interpret=interpret)
+    t, slot, u, v = _bvh_call(rays, tm_tiles, packed.nodes, packed.tri_rows,
+                              any_hit=any_hit, interpret=interpret)
     flat = lambda a: a.reshape(-1)[:n]
-    t, slot, u, v = flat(t), flat(slot), flat(u), flat(v)
-    prim = jnp.where(slot >= 0, bvh.tri_order[jnp.maximum(slot, 0)], MISS)
-    best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return flat(t), flat(slot), flat(u), flat(v), n
 
+
+def _sphere_merge(scene: Scene, origins, dirs, best: Hit) -> Hit:
+    num_tris = scene.num_triangles
     num_spheres = scene.spheres.radius.shape[0]
-    if num_spheres > 0:
-        t_s, valid_s = jax.vmap(
-            lambda c, r: intersect_spheres_one(origins, dirs, c, r),
-            in_axes=(0, 0), out_axes=(0, 0),
-        )(scene.spheres.center, scene.spheres.radius)
-        t_s = jnp.where(valid_s, t_s, jnp.inf)
-        s = jnp.argmin(t_s, axis=0)
-        cols = jnp.arange(n)
-        t_best_s = t_s[s, cols]
-        closer = t_best_s < best.t
-        best = Hit(
-            t=jnp.where(closer, t_best_s, best.t),
-            prim_id=jnp.where(closer, num_tris + s.astype(jnp.int32), best.prim_id),
-            u=jnp.where(closer, 0.0, best.u),
-            v=jnp.where(closer, 0.0, best.v),
-        )
-    return best
+    if num_spheres == 0:
+        return best
+    t_s, valid_s = jax.vmap(
+        lambda c, r: intersect_spheres_one(origins, dirs, c, r),
+        in_axes=(0, 0), out_axes=(0, 0),
+    )(scene.spheres.center, scene.spheres.radius)
+    t_s = jnp.where(valid_s, t_s, jnp.inf)
+    s = jnp.argmin(t_s, axis=0)
+    cols = jnp.arange(origins.shape[0])
+    t_best_s = t_s[s, cols]
+    closer = t_best_s < best.t
+    return Hit(
+        t=jnp.where(closer, t_best_s, best.t),
+        prim_id=jnp.where(closer, num_tris + s.astype(jnp.int32), best.prim_id),
+        u=jnp.where(closer, 0.0, best.u),
+        v=jnp.where(closer, 0.0, best.v),
+    )
 
 
-def occluded_pallas_bvh(scene: Scene, bvh: BVH, origins, dirs, t_max,
-                        interpret: bool | None = None):
-    """Any-hit via the BVH kernel (early-exits once the whole tile is occluded)."""
+def intersect_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
+                         t_max=None, interpret: bool | None = None) -> Hit:
+    """Closest-hit through the Pallas tile-synchronous BVH kernel (+ jnp spheres,
+    like the reference's bvh.intersect sphere tail, bvh.cpp:878-879)."""
     if interpret is None:
         interpret = _default_interpret()
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    t_max = jax.lax.stop_gradient(t_max)
-    num_tris = scene.num_triangles
-    rays, n, g = _pack_rays(origins, dirs)
-    tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
-    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
-    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
-    nodesf, nodesi, tris = _pack_tree(bvh)
-    t, slot, _, _ = _bvh_call(rays, tm_tiles, nodesf, nodesi, tris,
-                              any_hit=True, interpret=interpret)
-    blocked = (slot.reshape(-1)[:n] >= 0)
+    t, slot, u, v, n = _run(scene, packed, origins, dirs, t_max, False, interpret)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
+    best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return _sphere_merge(scene, origins, dirs, best)
+
+
+def occluded_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs, t_max,
+                        interpret: bool | None = None):
+    """Any-hit via the BVH kernel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    t, slot, _, _, n = _run(scene, packed, origins, dirs, t_max, True, interpret)
+    blocked = slot >= 0
 
     num_spheres = scene.spheres.radius.shape[0]
     if num_spheres > 0:
+        tm = jnp.broadcast_to(t_max, (origins.shape[0],)).astype(jnp.float32)
         t_s, valid_s = jax.vmap(
             lambda c, r: intersect_spheres_one(origins, dirs, c, r),
             in_axes=(0, 0), out_axes=(0, 0),

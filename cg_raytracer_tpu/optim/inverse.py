@@ -105,13 +105,9 @@ def optimize(
     # Host-built BVH over the *initial* geometry; fine for material/light
     # optimization (the oracle only depends on geometry).  For vertex optimization
     # use backend='brute' so the acceleration structure never goes stale.
-    bvh = None
-    from ..models.whitted import needs_bvh
+    from ..models.whitted import build_accel, needs_bvh
 
-    if needs_bvh(cfg, scene.num_triangles):
-        from ..ops.bvh import build_bvh
-
-        bvh = build_bvh(scene)
+    bvh = build_accel(scene, cfg) if needs_bvh(cfg, scene.num_triangles) else None
     step_fn = make_train_step(cfg, optimizer, apply_params, mesh=mesh, bvh=bvh)
 
     start = 0

@@ -31,8 +31,7 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
               backend: str = "auto", include_bwd: bool = True, iters: int = 5,
               max_depth: int = 2, data_dir: Optional[str] = None) -> dict:
     from .. import Camera, RenderConfig, load_scene
-    from ..models.whitted import make_backend, needs_bvh, render_image
-    from ..ops.bvh import build_bvh
+    from ..models.whitted import build_accel, make_backend, needs_bvh, render_image
     from ..optim.inverse import apply_material_params, material_params
 
     scn = load_scene(scene, data_dir=data_dir)
@@ -40,7 +39,7 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
                        backend=backend)
     camera = Camera.default(aspect=width / height)
     key = jax.random.PRNGKey(0)
-    bvh = build_bvh(scn) if needs_bvh(cfg, scn.num_triangles) else None
+    bvh = build_accel(scn, cfg) if needs_bvh(cfg, scn.num_triangles) else None
 
     if include_bwd:
         params = material_params(scn)

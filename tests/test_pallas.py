@@ -75,12 +75,12 @@ def test_spheres_tail(scenes):
 
 
 def test_pallas_bvh_matches_brute(scenes):
-    from cg_raytracer_tpu.ops.bvh import build_bvh
-    from cg_raytracer_tpu.ops.pallas_bvh import (intersect_pallas_bvh,
+    from cg_raytracer_tpu.ops.pallas_bvh import (build_packed_bvh,
+                                                 intersect_pallas_bvh,
                                                  occluded_pallas_bvh)
 
     scene = scenes("monkey")
-    bvh = build_bvh(scene)
+    _, bvh = build_packed_bvh(scene)
     cam = cgrt.Camera.default()
     o, d = cam_ops.generate_rays(cam, 32, 32)
     hb = intersect_brute(scene, o, d)
@@ -95,12 +95,13 @@ def test_pallas_bvh_matches_brute(scenes):
 
 
 def test_pallas_bvh_oversized_leaves(scenes):
-    # Depth-capped tree -> leaves with dynamic counts > max_leaf inside the kernel.
+    # Depth-capped tree -> multi-row leaves inside the kernel.
     from cg_raytracer_tpu.ops.bvh import build_bvh
-    from cg_raytracer_tpu.ops.pallas_bvh import intersect_pallas_bvh
+    from cg_raytracer_tpu.ops.pallas_bvh import (intersect_pallas_bvh,
+                                                 pack_bvh_rows)
 
     scene = scenes("monkey")
-    bvh = build_bvh(scene, max_depth=4, max_leaf=4)
+    bvh = pack_bvh_rows(build_bvh(scene, max_depth=4, max_leaf=4))
     cam = cgrt.Camera.default()
     o, d = cam_ops.generate_rays(cam, 16, 16)
     hb = intersect_brute(scene, o, d)
