@@ -18,7 +18,6 @@ the oracle + differentiable-reconstruction contract (see ops/intersect.py).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -27,7 +26,7 @@ import jax.numpy as jnp
 from ..ops import camera as cam_ops
 from ..ops import shading
 from ..ops.bvh import BVH, build_bvh, intersect_bvh, occluded_bvh
-from ..ops.intersect import Hit, intersect_brute, occluded_brute, reconstruct_hit
+from ..ops.intersect import intersect_brute, occluded_brute, reconstruct_hit
 from ..ops.linalg import reflect, safe_normalize
 from ..scene.types import Camera, Scene
 from ..utils.config import RenderConfig

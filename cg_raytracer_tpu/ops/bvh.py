@@ -26,7 +26,6 @@ import numpy as np
 
 from ..scene.types import Scene
 from .intersect import MISS, Hit, intersect_spheres_one, moller_trumbore
-from .linalg import dot
 
 DEFAULT_MAX_DEPTH = 20
 DEFAULT_MAX_LEAF = 4
@@ -197,13 +196,8 @@ def _slab(o, inv_d, lo, hi):
     return t_in, hit
 
 
-def _leaf_chunks(max_leaf: int) -> int:
-    # Depth-capped leaves may exceed max_leaf; loop the leaf range in fixed chunks.
-    return max(max_leaf, 1)
-
-
 def traverse_closest(bvh: BVH, origins, dirs, t_max=None, max_stack: int = 64,
-                     any_hit: bool = False, large_leaf_iters: int = 64):
+                     any_hit: bool = False):
     """Closest-hit (or any-hit) BVH traversal over a ray batch.
 
     Returns Hit(t, reordered_slot, u, v) where prim ids are *original* triangle ids

@@ -109,3 +109,26 @@ def test_pallas_bvh_oversized_leaves(scenes):
     tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
     tp = np.where(np.isinf(np.asarray(hp.t)), 1e9, np.asarray(hp.t))
     assert np.isclose(tb, tp, atol=1e-4).all()
+
+
+def test_packed_bvh_invariants(scenes):
+    from cg_raytracer_tpu.ops.pallas_bvh import TRIS_PER_ROW, build_packed_bvh
+
+    scene = scenes("monkey")
+    bvh, packed = build_packed_bvh(scene)
+    T = scene.num_triangles
+    s2p = np.asarray(packed.slot_to_prim)
+    # Every original triangle appears exactly once; padding slots are -1.
+    real = s2p[s2p >= 0]
+    assert sorted(real.tolist()) == list(range(T))
+    # Node integer payloads decode exactly.
+    nodes = np.asarray(packed.nodes)
+    count = np.asarray(bvh.count)
+    leaves = count > 0
+    n_rows = nodes[leaves, 9].astype(np.int64)
+    assert (n_rows == -(-count[leaves] // TRIS_PER_ROW)).all()
+    assert int(n_rows.sum()) == packed.tri_rows.shape[0]
+    # Padding triangles are degenerate (all-zero rows beyond each leaf's count).
+    rows = np.asarray(packed.tri_rows).reshape(-1, TRIS_PER_ROW, 9)
+    pad_mask = (s2p < 0).reshape(-1, TRIS_PER_ROW)
+    assert np.abs(rows[pad_mask]).max() == 0.0
