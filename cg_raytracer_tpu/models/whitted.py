@@ -185,6 +185,25 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     return img
 
 
+def effective_max_depth(scene: Scene, cfg: RenderConfig) -> int:
+    """Host-side bounce-count shortcut: if no material can pass the reflection
+    continue-test (``any(ks > 0.01)``, or ``ks.z > 0.01`` under reference quirks,
+    main.cpp:246), every bounce past the first contributes exactly zero — skip
+    compiling them.  Only applies when the scene is concrete (outside jit)."""
+    import numpy as np
+
+    try:
+        ks = np.asarray(scene.materials.ks)
+        sks = np.asarray(scene.spheres.ks)
+    except Exception:  # traced values: can't inspect, keep configured depth
+        return cfg.max_depth
+    if cfg.reference_quirks:
+        reflective = (ks[:, 2] > 0.01).any() or (sks.size > 0 and (sks[:, 2] > 0.01).any())
+    else:
+        reflective = (ks > 0.01).any() or (sks.size > 0 and (sks > 0.01).any())
+    return cfg.max_depth if reflective else min(cfg.max_depth, 1)
+
+
 def needs_bvh(cfg: RenderConfig, num_tris: int) -> bool:
     """Whether the resolved backend requires a prebuilt acceleration structure
     (host-side build — must happen outside jit)."""
@@ -208,6 +227,11 @@ def build_accel(scene: Scene, cfg: RenderConfig):
 def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool = True,
            bvh=None):
     """User-facing render entry point; jits over (scene, camera) with cfg static."""
+    import dataclasses
+
+    depth = effective_max_depth(scene, cfg)
+    if depth != cfg.max_depth:
+        cfg = dataclasses.replace(cfg, max_depth=depth)
     if bvh is None and needs_bvh(cfg, scene.num_triangles):
         bvh = build_accel(scene, cfg)
     if key is None:

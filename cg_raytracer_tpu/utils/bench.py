@@ -17,6 +17,8 @@ BASELINE_RAYS_PER_S = 3.8e6  # Cornell/point, report.pdf Table 2 (BASELINE.md)
 
 
 def time_fn(fn, *args, iters: int = 5, warmup: int = 2):
+    """Median steady-state wall time (median, not min: the async dispatch path has
+    produced spuriously tiny outliers through the remote-device tunnel)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times = []
@@ -24,7 +26,8 @@ def time_fn(fn, *args, iters: int = 5, warmup: int = 2):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
-    return min(times)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
@@ -34,9 +37,14 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
     from ..models.whitted import build_accel, make_backend, needs_bvh, render_image
     from ..optim.inverse import apply_material_params, material_params
 
+    import dataclasses
+
+    from ..models.whitted import effective_max_depth
+
     scn = load_scene(scene, data_dir=data_dir)
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth,
                        backend=backend)
+    cfg = dataclasses.replace(cfg, max_depth=effective_max_depth(scn, cfg))
     camera = Camera.default(aspect=width / height)
     key = jax.random.PRNGKey(0)
     bvh = build_accel(scn, cfg) if needs_bvh(cfg, scn.num_triangles) else None
