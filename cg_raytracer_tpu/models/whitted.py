@@ -224,9 +224,24 @@ def build_accel(scene: Scene, cfg: RenderConfig):
     return None
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_jit(scene, camera, bvh, key, cfg):
+    backend = make_backend(scene, cfg, bvh=bvh)
+    return render_image(scene, camera, cfg, backend=backend, key=key)
+
+
 def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool = True,
            bvh=None):
-    """User-facing render entry point; jits over (scene, camera) with cfg static."""
+    """User-facing render entry point.
+
+    The jitted computation is cached on the (hashable) config + pytree structure —
+    repeated calls with the same cfg re-trace nothing (a fresh closure per call
+    costs ~1 s of tracing overhead per render, which would dwarf the render
+    itself).
+    """
     import dataclasses
 
     depth = effective_max_depth(scene, cfg)
@@ -237,10 +252,7 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool 
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    def fn(scene_, camera_, bvh_, key_):
-        backend = make_backend(scene_, cfg, bvh=bvh_)
-        return render_image(scene_, camera_, cfg, backend=backend, key=key_)
-
-    if jit:
-        fn = jax.jit(fn, static_argnames=())
-    return fn(scene, camera, bvh, key)
+    if not jit:
+        backend = make_backend(scene, cfg, bvh=bvh)
+        return render_image(scene, camera, cfg, backend=backend, key=key)
+    return _render_jit(scene, camera, bvh, key, cfg)

@@ -300,7 +300,15 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
             ],
             axis=1,
         )  # [T, 28]
-        row = packed[tri_ids]  # [N, 28] — the single per-ray gather
+        if num_tris <= 128:
+            # Gather-as-matmul: one_hot(ids) @ table runs on the MXU and its
+            # transpose (the vertex/material grad scatter) is also a matmul —
+            # both are an order of magnitude faster than TPU row gathers /
+            # scatter-adds at this batch size.
+            onehot = jax.nn.one_hot(tri_ids, num_tris, dtype=packed.dtype)
+            row = jnp.dot(onehot, packed, preferred_element_type=jnp.float32)
+        else:
+            row = packed[tri_ids]  # [N, 28] — single per-ray row gather
         v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
         n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
         kd_tri, ks_tri = row[..., 18:21], row[..., 21:24]

@@ -146,10 +146,11 @@ def _slab_tile(ox, oy, oz, ix, iy, iz, lo0, lo1, lo2, hi0, hi1, hi2):
     return tin, hit
 
 
-def _bvh_kernel(rays_ref, tmax_ref, nodes_ref, tris_ref, t_ref, slot_ref,
+def _bvh_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                tmax_ref, nodes_ref, tris_ref, t_ref, slot_ref,
                 u_ref, v_ref, stack_ref, *, any_hit: bool):
-    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
-    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     t0 = tmax_ref[0]
 
@@ -247,10 +248,11 @@ def _bvh_kernel(rays_ref, tmax_ref, nodes_ref, tris_ref, t_ref, slot_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _bvh_call(rays, tmax_tiles, nodes, tri_rows, any_hit=False, interpret=False):
-    g = rays.shape[0]
+def _bvh_call(rays6, tmax_tiles, nodes, tri_rows, any_hit=False, interpret=False):
+    g = rays6[0].shape[0]
     kernel = functools.partial(_bvh_kernel, any_hit=any_hit)
-    tile = lambda i: (i, 0, 0)
+    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
         jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
@@ -260,20 +262,15 @@ def _bvh_call(rays, tmax_tiles, nodes, tri_rows, any_hit=False, interpret=False)
     return pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 6, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM),
+        in_specs=[ray_spec() for _ in range(7)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM)
-        ] * 4,
+        out_specs=[ray_spec() for _ in range(4)],
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
         interpret=interpret,
-    )(rays, tmax_tiles, nodes, tri_rows)
+    )(*rays6, tmax_tiles, nodes, tri_rows)
 
 
 def _default_interpret() -> bool:

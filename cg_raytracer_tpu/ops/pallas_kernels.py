@@ -80,11 +80,14 @@ def _mt_tile(ox, oy, oz, dx, dy, dz, tri):
 UNROLL_MAX_TRIS = 256  # full static unroll below this: no dynamic indexing at all
 
 
-def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
+def _closest_kernel_entry(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
                           v_ref, *, num_tris):
-    """rays_ref block: (1, 6, R, 128) [ox oy oz dx dy dz]; tris_ref: (T, 9) VMEM."""
-    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
-    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    """Ray components as six (1, R, 128) blocks (separate inputs: no host-side
+    [N,3] -> interleaved transpose, which costs more than the kernel itself);
+    tris_ref: (T, 9) VMEM."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
 
     init = (
         tmax_ref[0],
@@ -120,12 +123,13 @@ def _closest_kernel_entry(rays_ref, tmax_ref, tris_ref, t_ref, slot_ref, u_ref,
     v_ref[0] = v_best
 
 
-def _anyhit_kernel(rays_ref, tmax_ref, tris_ref, hit_ref, *, num_tris,
+def _anyhit_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   tmax_ref, tris_ref, hit_ref, *, num_tris,
                    check_every: int = 64):
     """Occlusion kernel: OR-accumulates (t < t_max) hits; exits the triangle loop
     early once the whole tile is occluded (checked every ``check_every`` tris)."""
-    ox, oy, oz = rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2]
-    dx, dy, dz = rays_ref[0, 3], rays_ref[0, 4], rays_ref[0, 5]
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     t_max = tmax_ref[0]
 
     # The running occlusion mask is carried as int32 (Mosaic cannot legalize an
@@ -160,15 +164,19 @@ def _anyhit_kernel(rays_ref, tmax_ref, tris_ref, hit_ref, *, num_tris,
 
 
 def _pack_rays(origins, dirs):
-    """[N,3]+[N,3] -> (rays6 [G, 6, 8, 128], n_pad) with G = padded N / 1024."""
+    """[N,3]+[N,3] -> tuple of six [G, R, 128] component arrays + (n, g).
+
+    Strided component slices + reshape only — no interleaving transpose (which
+    costs more HBM traffic than the intersection kernels themselves).
+    """
     n = origins.shape[0]
     pad = (-n) % RAY_TILE
     o = jnp.pad(origins, ((0, pad), (0, 0)))
     d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
     g = (n + pad) // RAY_TILE
-    comps = jnp.concatenate([o, d], axis=1)  # [Np, 6]
-    rays = comps.reshape(g, RAY_ROWS, RAY_COLS, 6).transpose(0, 3, 1, 2)
-    return rays, n, g
+    shape = (g, RAY_ROWS, RAY_COLS)
+    comps = tuple(a[:, i].reshape(shape) for a in (o, d) for i in range(3))
+    return comps, n, g
 
 
 def _tri_table(scene: Scene):
@@ -179,9 +187,13 @@ def _tri_table(scene: Scene):
     return jnp.concatenate([v0, v1, v2], axis=1)  # [T, 9]
 
 
+_RAY_SPEC = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_call(rays, tmax_tiles, tri_table, interpret=False):
-    g = rays.shape[0]
+def _closest_call(rays6, tmax_tiles, tri_table, interpret=False):
+    g = rays6[0].shape[0]
     num_tris = tri_table.shape[0]
     kernel = functools.partial(_closest_kernel_entry, num_tris=num_tris)
     out_shape = [
@@ -190,44 +202,33 @@ def _closest_call(rays, tmax_tiles, tri_table, interpret=False):
         jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
         jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
     ]
-    tile = lambda i: (i, 0, 0)
     return pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 6, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM),
+        in_specs=[_RAY_SPEC() for _ in range(7)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full triangle table
         ],
-        out_specs=[
-            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM)
-        ] * 4,
+        out_specs=[_RAY_SPEC() for _ in range(4)],
         out_shape=out_shape,
         interpret=interpret,
-    )(rays, tmax_tiles, tri_table)
+    )(*rays6, tmax_tiles, tri_table)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _anyhit_call(rays, tmax_tiles, tri_table, interpret=False):
-    g = rays.shape[0]
+def _anyhit_call(rays6, tmax_tiles, tri_table, interpret=False):
+    g = rays6[0].shape[0]
     num_tris = tri_table.shape[0]
     kernel = functools.partial(_anyhit_kernel, num_tris=num_tris)
-    tile = lambda i: (i, 0, 0)
     return pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 6, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile, memory_space=pltpu.VMEM),
+        in_specs=[_RAY_SPEC() for _ in range(7)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RAY_ROWS, RAY_COLS), tile,
-                               memory_space=pltpu.VMEM),
+        out_specs=_RAY_SPEC(),
         out_shape=jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.bool_),
         interpret=interpret,
-    )(rays, tmax_tiles, tri_table)
+    )(*rays6, tmax_tiles, tri_table)
 
 
 def _default_interpret() -> bool:
