@@ -91,6 +91,7 @@ def optimize(
     resume: bool = True,
     log_every: int = 10,
     log_fn: Callable = print,
+    log_jsonl: Optional[str] = None,
     key=None,
 ):
     """Run the inverse-rendering loop; returns (params, losses)."""
@@ -115,18 +116,34 @@ def optimize(
         start, params, opt_state = load_checkpoint(checkpoint_path, params, opt_state)
         log_fn(f"resumed from {checkpoint_path} at step {start}")
 
+    from ..utils.profiling import JsonlLogger
+
+    logger = JsonlLogger(log_jsonl, echo=False) if log_jsonl else None
     losses = []
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
+        import time as _time
+
         for i in range(start, steps):
+            t0 = _time.perf_counter()
             params, opt_state, loss = step_fn(
                 params, opt_state, scene, camera, target, jax.random.fold_in(key, i)
             )
-            losses.append(float(loss))
+            loss_f = float(loss)
+            losses.append(loss_f)
+            if logger:
+                grad_norm = float(
+                    jnp.sqrt(sum(jnp.sum(jnp.square(p)) for p in jax.tree.leaves(params)))
+                )
+                logger.log(step=i, loss=loss_f, param_norm=grad_norm,
+                           step_seconds=_time.perf_counter() - t0,
+                           rays_per_s=cfg.width * cfg.height / max(_time.perf_counter() - t0, 1e-9))
             if log_every and (i % log_every == 0 or i == steps - 1):
-                log_fn(f"step {i}: loss {float(loss):.6e}")
+                log_fn(f"step {i}: loss {loss_f:.6e}")
             if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
                 save_checkpoint(checkpoint_path, i + 1, params, opt_state)
+    if logger:
+        logger.close()
     if checkpoint_path:
         save_checkpoint(checkpoint_path, steps, params, opt_state)
     return params, losses

@@ -67,3 +67,16 @@ def test_resume_is_deterministic(tmp_path, scenes):
                             checkpoint_path=ck, checkpoint_every=100, resume=True)
     for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_resumed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_optimize_jsonl_logging(tmp_path, scenes):
+    import json
+
+    scene = scenes("cube")
+    cam = cgrt.Camera.default()
+    target = np.zeros((CFG.height, CFG.width, 3), np.float32)
+    log = str(tmp_path / "steps.jsonl")
+    optimize(scene, cam, target, CFG, steps=3, log_every=0, log_jsonl=log)
+    lines = [json.loads(l) for l in open(log)]
+    assert len(lines) == 3
+    assert {"step", "loss", "step_seconds", "rays_per_s"} <= set(lines[0])
