@@ -35,10 +35,15 @@ REFLECT_EPS = 1e-3
 
 
 class Backend(NamedTuple):
-    """Intersection oracle pair: closest-hit and any-hit queries."""
+    """Intersection oracle pair: closest-hit and any-hit queries.
+
+    ``bounce``, when present, is a fused fast path returning
+    (Hit, shadow_bits [N] int32) — the closest hit plus per-point-light occlusion
+    bits computed in one kernel (bit l = light l blocked)."""
 
     closest: Callable  # (origins, dirs) -> Hit
     occluded: Callable  # (origins, dirs, t_max) -> bool [N]
+    bounce: Optional[Callable] = None  # (origins, dirs) -> (Hit, shadow_bits)
 
 
 def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> Backend:
@@ -59,11 +64,17 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         # Small scenes: tiled brute-force kernel.  Larger scenes: the
         # tile-synchronous BVH traversal kernel (tree packed into VMEM).
         if scene.num_triangles <= cfg.brute_force_max_tris:
-            from ..ops.pallas_kernels import intersect_pallas, occluded_pallas
+            from ..ops.pallas_kernels import (bounce_pallas, intersect_pallas,
+                                              occluded_pallas,
+                                              supports_fused_bounce)
 
+            bounce = None
+            if supports_fused_bounce(scene):
+                bounce = lambda o, d: bounce_pallas(scene, o, d)
             return Backend(
                 closest=lambda o, d: intersect_pallas(scene, o, d),
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
+                bounce=bounce,
             )
         from ..ops.pallas_bvh import (PackedBVH, build_packed_bvh,
                                       intersect_pallas_bvh, occluded_pallas_bvh,
@@ -104,13 +115,18 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
 
     o, d = origins, dirs
     for level in range(cfg.max_depth):
-        hit = backend.closest(o, d)
+        shadow_bits = None
+        if backend.bounce is not None:
+            hit, shadow_bits = backend.bounce(o, d)
+        else:
+            hit = backend.closest(o, d)
         surf = reconstruct_hit(scene, o, d, hit)
         lkey = jax.random.fold_in(key, level)
         direct = shading.direct_light(
             scene, d, surf, backend.occluded, lkey,
             soft_shadow_samples=cfg.soft_shadow_samples,
             sample_chunk=cfg.soft_shadow_chunk,
+            shadow_bits=shadow_bits,
         )
         lit = active & surf.valid
         color = color + throughput * direct * lit[..., None].astype(jnp.float32)

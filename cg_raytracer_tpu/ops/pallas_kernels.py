@@ -163,6 +163,72 @@ def _anyhit_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     hit_ref[0] = blocked > 0
 
 
+SHADOW_EPS = 1e-3  # shading.SHADOW_EPS (main.cpp:110-111)
+MAX_FUSED_LIGHTS = 30  # shadow bits live in one int32
+
+
+def _bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   tmax_ref, tris_ref, lights_ref,
+                   t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                   *, num_tris, num_lights):
+    """Fused bounce megakernel: closest-hit sweep + per-point-light shadow any-hit
+    sweeps, all on the in-register ray tile.  The reference executes this as
+    trace -> shading -> pointInShadow per light (main.cpp:160-310); fusing it
+    avoids two extra kernel dispatches and the [N]-ray HBM round trips between
+    them.  Shadow results are packed as bits of one int32 tile (bit l = light l
+    occluded).  Small scenes only (triangle loop fully unrolled).
+    """
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    # --- closest-hit sweep (same as _closest_kernel_entry) ---
+    t_best = tmax_ref[0]
+    slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
+    u_best = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
+    v_best = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
+    for ti in range(num_tris):
+        tri = tris_ref[ti]
+        t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+        closer = valid & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        slot = jnp.where(closer, ti, slot)
+        u_best = jnp.where(closer, u, u_best)
+        v_best = jnp.where(closer, v, v_best)
+
+    hit = slot >= 0
+    t_hit = jnp.where(hit, t_best, 0.0)
+    px = ox + dx * t_hit
+    py = oy + dy * t_hit
+    pz = oz + dz * t_hit
+
+    # --- per-light shadow sweeps (pointInShadow semantics, main.cpp:104-135) ---
+    shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+        tx = lrow[0] - px
+        ty = lrow[1] - py
+        tz = lrow[2] - pz
+        dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        inv = 1.0 / jnp.maximum(dist, 1e-20)
+        sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+        sox = px + SHADOW_EPS * sdx
+        soy = py + SHADOW_EPS * sdy
+        soz = pz + SHADOW_EPS * sdz
+        tmax_l = dist - SHADOW_EPS
+        blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+        for ti in range(num_tris):
+            tri = tris_ref[ti]
+            t2, _, _, ok = _mt_tile(sox, soy, soz, sdx, sdy, sdz, tri)
+            blocked = jnp.maximum(blocked, (ok & (t2 < tmax_l)).astype(jnp.int32))
+        shadow_bits = shadow_bits | (blocked << li)
+
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u_best
+    v_ref[0] = v_best
+    shadow_ref[0] = shadow_bits
+
+
 def _pack_rays(origins, dirs):
     """[N,3]+[N,3] -> tuple of six [G, R, 128] component arrays + (n, g).
 
@@ -318,3 +384,62 @@ def occluded_pallas(scene: Scene, origins, dirs, t_max,
         )(scene.spheres.center, scene.spheres.radius)
         blocked = blocked | jnp.any(valid_s & (t_s < t_max[None, :]), axis=0)
     return blocked
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bounce_call(rays6, tmax_tiles, tri_table, lights, interpret=False):
+    g = rays6[0].shape[0]
+    num_tris = tri_table.shape[0]
+    num_lights = lights.shape[0]
+    kernel = functools.partial(_bounce_kernel, num_tris=num_tris,
+                               num_lights=num_lights)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_RAY_SPEC() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light positions [L, 3]
+        ],
+        out_specs=[_RAY_SPEC() for _ in range(5)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, tmax_tiles, tri_table, lights)
+
+
+def supports_fused_bounce(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:
+    """Fused bounce applies to small fully-unrolled scenes with point lights and
+    no sphere primitives (spheres would need merging inside the kernel)."""
+    return (
+        0 < scene.num_triangles <= max_tris
+        and scene.spheres.radius.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+    )
+
+
+def bounce_pallas(scene: Scene, origins, dirs, interpret: bool | None = None):
+    """Fused closest-hit + point-light shadow query.
+
+    Returns (Hit, shadow_bits [N] int32) where bit l of shadow_bits marks light l
+    occluded from the hit point (pointInShadow, main.cpp:104-135).  Bits are only
+    meaningful where the ray hit (callers mask by surf.valid).
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays6, n, g = _pack_rays(origins, dirs)
+    tm_tiles = jnp.full((g, RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    t, slot, u, v, bits = _bounce_call(rays6, tm_tiles, _tri_table(scene), lights,
+                                       interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
+    hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=slot, u=u, v=v)
+    return hit, bits

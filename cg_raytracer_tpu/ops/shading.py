@@ -47,10 +47,13 @@ def phong_one_light(view_dir, normal, kd, ks, shininess, light_dir, light_color)
     return diffuse, specular
 
 
-def direct_point_lights(scene: Scene, view_dir, surf: Surface, occluded_fn):
+def direct_point_lights(scene: Scene, view_dir, surf: Surface, occluded_fn,
+                        shadow_bits=None):
     """Sum of Phong contributions over point lights, gated by hard shadows.
 
     occluded_fn(origins [N,3], dirs [N,3], t_max [N]) -> bool [N] any-hit oracle.
+    ``shadow_bits`` (optional, [N] int32): precomputed occlusion bits from a fused
+    bounce kernel (bit l = light l blocked) — skips the per-light any-hit calls.
     Parity: shadow origin offset eps=0.001 along the shadow dir (main.cpp:110-111);
     occluded iff hit with t < dist - eps (main.cpp:119 tests ``t + eps >= dist`` for
     visibility).
@@ -59,19 +62,24 @@ def direct_point_lights(scene: Scene, view_dir, surf: Surface, occluded_fn):
     if num_lights == 0:
         return jnp.zeros_like(surf.position)
 
-    def one_light(lpos, lcol):
+    def one_light(li, lpos, lcol):
         to_light = lpos - surf.position
-        dist = norm(to_light)
         ldir = safe_normalize(to_light)
-        shadow_origin = surf.position + SHADOW_EPS * ldir
-        blocked = occluded_fn(shadow_origin, ldir, dist - SHADOW_EPS)
+        if shadow_bits is not None:
+            blocked = ((shadow_bits >> li) & 1) > 0
+        else:
+            dist = norm(to_light)
+            shadow_origin = surf.position + SHADOW_EPS * ldir
+            blocked = occluded_fn(shadow_origin, ldir, dist - SHADOW_EPS)
         diffuse, specular = phong_one_light(
             view_dir, surf.normal, surf.kd, surf.ks, surf.shininess, ldir, lcol
         )
         lit = (~blocked) & surf.valid
         return (diffuse + specular) * lit[..., None].astype(diffuse.dtype)
 
-    contrib = jax.vmap(one_light)(scene.point_lights.position, scene.point_lights.color)
+    contrib = jax.vmap(one_light)(jnp.arange(num_lights),
+                                  scene.point_lights.position,
+                                  scene.point_lights.color)
     return jnp.sum(contrib, axis=0)
 
 
@@ -134,9 +142,11 @@ def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, 
 
 
 def direct_light(scene: Scene, view_dir, surf: Surface, occluded_fn, key,
-                 soft_shadow_samples: int = 200, sample_chunk: int = 20):
+                 soft_shadow_samples: int = 200, sample_chunk: int = 20,
+                 shadow_bits=None):
     """Total direct lighting = point lights + spherical lights (shading(), main.cpp:160-235)."""
-    color = direct_point_lights(scene, view_dir, surf, occluded_fn)
+    color = direct_point_lights(scene, view_dir, surf, occluded_fn,
+                                shadow_bits=shadow_bits)
     color = color + direct_spherical_lights(
         scene, view_dir, surf, occluded_fn, key,
         num_samples=soft_shadow_samples, sample_chunk=sample_chunk,

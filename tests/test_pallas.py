@@ -132,3 +132,44 @@ def test_packed_bvh_invariants(scenes):
     rows = np.asarray(packed.tri_rows).reshape(-1, TRIS_PER_ROW, 9)
     pad_mask = (s2p < 0).reshape(-1, TRIS_PER_ROW)
     assert np.abs(rows[pad_mask]).max() == 0.0
+
+
+def test_fused_bounce_matches_separate(scenes):
+    from cg_raytracer_tpu.ops.pallas_kernels import (bounce_pallas,
+                                                     supports_fused_bounce)
+    from cg_raytracer_tpu.ops.linalg import norm, safe_normalize
+
+    scene = scenes("cornell_box")
+    assert supports_fused_bounce(scene)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 32, 32)
+    hit_f, bits = bounce_pallas(scene, o, d, interpret=True)
+    hit_b = intersect_brute(scene, o, d)
+    assert (np.asarray(hit_f.prim_id) == np.asarray(hit_b.prim_id)).all()
+
+    # Shadow bits match the separate any-hit path where the ray hit.
+    from cg_raytracer_tpu.ops.intersect import reconstruct_hit
+
+    surf = reconstruct_hit(scene, o, d, hit_b)
+    lpos = scene.point_lights.position[0]
+    to_light = lpos - surf.position
+    dist = norm(to_light)
+    ldir = safe_normalize(to_light)
+    blocked_sep = np.asarray(
+        occluded_brute(scene, surf.position + 1e-3 * ldir, ldir, dist - 1e-3)
+    )
+    blocked_fused = (np.asarray(bits) & 1) > 0
+    valid = np.asarray(surf.valid)
+    agree = (blocked_sep == blocked_fused) | ~valid
+    assert agree.mean() > 0.995
+
+
+def test_fused_bounce_render_agreement(scenes):
+    import dataclasses
+
+    scene = scenes("cornell_box")
+    cfg_b = cgrt.RenderConfig(width=40, height=40, backend="brute")
+    cfg_p = dataclasses.replace(cfg_b, backend="pallas")  # uses fused bounce
+    brute = np.asarray(cgrt.render(scene, cgrt.Camera.default(), cfg_b))
+    pallas = np.asarray(cgrt.render(scene, cgrt.Camera.default(), cfg_p))
+    assert_images_close(brute, pallas, msg="fused-bounce vs brute render")
