@@ -76,22 +76,43 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
                 bounce=bounce,
             )
-        from ..ops.pallas_bvh import (PackedBVH, build_packed_bvh,
-                                      intersect_pallas_bvh, occluded_pallas_bvh,
-                                      supports_pallas_bvh)
+        from ..ops.pallas_bvh import (HBMBVH, PackedBVH, build_hbm_bvh,
+                                      build_packed_bvh, intersect_pallas_bvh,
+                                      intersect_pallas_bvh_hbm,
+                                      occluded_pallas_bvh,
+                                      occluded_pallas_bvh_hbm,
+                                      supports_pallas_bvh,
+                                      supports_pallas_bvh_hbm)
 
-        if not supports_pallas_bvh(scene):
-            raise ValueError(
-                "pallas BVH backend requires a VMEM-resident scene; "
-                "use backend='bvh' for this scene"
+        if isinstance(bvh, HBMBVH):
+            # Caller explicitly built the HBM-streaming structure — honor it
+            # even when the scene would also fit the all-VMEM kernel.
+            hbm = bvh
+            return Backend(
+                closest=lambda o, d: intersect_pallas_bvh_hbm(scene, hbm, o, d),
+                occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(scene, hbm, o, d, tm),
             )
-        if not isinstance(bvh, PackedBVH):
-            # Host-side packing — must happen outside jit (build_accel does this).
-            _, bvh = build_packed_bvh(scene)
-        packed = bvh
-        return Backend(
-            closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d),
-            occluded=lambda o, d, tm: occluded_pallas_bvh(scene, packed, o, d, tm),
+        if supports_pallas_bvh(scene):
+            if not isinstance(bvh, PackedBVH):
+                # Host-side packing — must happen outside jit (build_accel does this).
+                _, bvh = build_packed_bvh(scene)
+            packed = bvh
+            return Backend(
+                closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d),
+                occluded=lambda o, d, tm: occluded_pallas_bvh(scene, packed, o, d, tm),
+            )
+        if supports_pallas_bvh_hbm(scene):
+            # Past the VMEM cap: nodes stay on-chip, triangles stream from HBM.
+            if not isinstance(bvh, HBMBVH):
+                _, bvh = build_hbm_bvh(scene)
+            packed = bvh
+            return Backend(
+                closest=lambda o, d: intersect_pallas_bvh_hbm(scene, packed, o, d),
+                occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(scene, packed, o, d, tm),
+            )
+        raise ValueError(
+            "pallas BVH backend: scene exceeds even the HBM-streaming node "
+            "budget; use backend='bvh' for this scene"
         )
     raise ValueError(f"Unknown backend {kind!r}")
 
@@ -234,9 +255,12 @@ def build_accel(scene: Scene, cfg: RenderConfig):
     if kind == "bvh":
         return build_bvh(scene)
     if kind == "pallas" and scene.num_triangles > cfg.brute_force_max_tris:
-        from ..ops.pallas_bvh import build_packed_bvh
+        from ..ops.pallas_bvh import (build_hbm_bvh, build_packed_bvh,
+                                      supports_pallas_bvh)
 
-        return build_packed_bvh(scene)[1]
+        if supports_pallas_bvh(scene):
+            return build_packed_bvh(scene)[1]
+        return build_hbm_bvh(scene)[1]
     return None
 
 

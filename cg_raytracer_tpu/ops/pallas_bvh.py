@@ -53,6 +53,9 @@ MAX_STACK = 64
 TRIS_PER_ROW = 14  # 14 * 9 = 126 lanes used of 128
 PALLAS_BVH_MAX_LEAF = 14  # one full row per leaf by default
 VMEM_MAX_TRIS = 200_000
+# HBM-resident variant: only the node table must fit in VMEM (512 B/node row);
+# triangles stream in per-leaf via async DMA.  Budget ~6 MB of VMEM for nodes.
+HBM_NODE_BYTES_BUDGET = 6 * 1024 * 1024
 
 
 class PackedBVH(NamedTuple):
@@ -338,6 +341,317 @@ def occluded_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs, t_max,
     if interpret is None:
         interpret = _default_interpret()
     t, slot, _, _, n = _run(scene, packed, origins, dirs, t_max, True, interpret)
+    blocked = slot >= 0
+
+    num_spheres = scene.spheres.radius.shape[0]
+    if num_spheres > 0:
+        tm = jnp.broadcast_to(t_max, (origins.shape[0],)).astype(jnp.float32)
+        t_s, valid_s = jax.vmap(
+            lambda c, r: intersect_spheres_one(origins, dirs, c, r),
+            in_axes=(0, 0), out_axes=(0, 0),
+        )(scene.spheres.center, scene.spheres.radius)
+        blocked = blocked | jnp.any(valid_s & (t_s < tm[None, :]), axis=0)
+    return blocked
+
+
+# ---------------------------------------------------------------------------
+# HBM-resident variant: triangles stream in per leaf via async DMA.
+#
+# The VMEM kernel above holds the whole packed scene on-chip, capping it at
+# ~200K triangles.  Past that, only the *node table* stays in VMEM (512 B per
+# node row after lane padding); the triangle rows live in HBM (memory_space
+# ANY) and each leaf visit DMAs a fixed-size block of ``leaf_rows`` rows into a
+# double-buffered VMEM scratch.  The DMA for the next leaf is issued before the
+# previous leaf's Moller-Trumbore sweep runs, so the copy rides under compute.
+# Wider leaves (more rows per leaf) shrink the node table; ``choose_leaf_rows``
+# picks the narrowest width whose node table fits the VMEM budget.
+# ---------------------------------------------------------------------------
+
+
+class HBMBVH(NamedTuple):
+    """Packed BVH with HBM-resident triangle rows (nodes stay VMEM-sized)."""
+
+    nodes: jax.Array  # [Nn, 12] f32 (VMEM)
+    tri_rows: jax.Array  # [R + leaf_rows, 126] f32 (HBM; tail-padded)
+    slot_to_prim: jax.Array  # [R * 14] i32 (-1 on padding)
+    num_nodes: int
+    leaf_rows: int  # fixed DMA block height; every leaf has <= this many rows
+
+
+jax.tree_util.register_pytree_node(
+    HBMBVH,
+    lambda p: ((p.nodes, p.tri_rows, p.slot_to_prim), (p.num_nodes, p.leaf_rows)),
+    lambda aux, ch: HBMBVH(*ch, num_nodes=aux[0], leaf_rows=aux[1]),
+)
+
+
+def choose_leaf_rows(num_tris: int) -> int:
+    """Narrowest leaf width (in 14-tri rows) whose node table fits the budget."""
+    for rows in (2, 4, 8, 16, 32):
+        max_leaf = rows * TRIS_PER_ROW
+        # Complete binary tree over ceil(T / max_leaf) leaves, 512 B per node.
+        n_leaves = -(-num_tris // max_leaf)
+        if (2 * n_leaves) * 512 <= HBM_NODE_BYTES_BUDGET:
+            return rows
+    raise ValueError(
+        f"{num_tris} triangles exceed the HBM-variant node budget even at "
+        f"32-row leaves; shard the scene instead"
+    )
+
+
+def build_hbm_bvh(scene: Scene, leaf_rows: int | None = None):
+    """Host-side build+pack for the HBM-resident kernel."""
+    if leaf_rows is None:
+        leaf_rows = choose_leaf_rows(scene.num_triangles)
+    bvh = build_bvh(scene, max_leaf=leaf_rows * TRIS_PER_ROW)
+    packed = pack_bvh_rows(bvh)
+    # Tail-pad so a fixed-size DMA starting at any leaf's first row stays in
+    # bounds (over-read rows beyond the leaf are never processed).
+    tri_rows = jnp.concatenate(
+        [packed.tri_rows,
+         jnp.zeros((leaf_rows, TRIS_PER_ROW * 9), jnp.float32)], axis=0
+    )
+    return bvh, HBMBVH(
+        nodes=packed.nodes,
+        tri_rows=tri_rows,
+        slot_to_prim=packed.slot_to_prim,
+        num_nodes=packed.num_nodes,
+        leaf_rows=leaf_rows,
+    )
+
+
+def _bvh_hbm_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmax_ref, nodes_ref, tris_hbm_ref, t_ref, slot_ref,
+                    u_ref, v_ref, stack_ref, tri_buf, dma_sem,
+                    *, any_hit: bool, leaf_rows: int):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    t0 = tmax_ref[0]
+
+    stack_ref[0] = jnp.int32(0)
+
+    def start_leaf_dma(row_first, slot):
+        return pltpu.make_async_copy(
+            tris_hbm_ref.at[pl.ds(row_first, leaf_rows)],
+            tri_buf.at[slot], dma_sem.at[slot],
+        )
+
+    def process_leaf(carry, base_row, n_rows, slot):
+        """MT-sweep the ``n_rows`` valid rows sitting in tri_buf[slot]."""
+        def row_body(r, lc):
+            t_b, sl, uu, vv = lc
+            trow = tri_buf[slot, r]  # (126,) vector; dynamic sublane index
+            for k in range(TRIS_PER_ROW):
+                tri = [trow[9 * k + j] for j in range(9)]
+                t, u_, v_, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+                closer = valid & (t < t_b)
+                slot_k = (base_row + r) * TRIS_PER_ROW + k
+                t_b = jnp.where(closer, t, t_b)
+                sl = jnp.where(closer, slot_k, sl)
+                uu = jnp.where(closer, u_, uu)
+                vv = jnp.where(closer, v_, vv)
+            return t_b, sl, uu, vv
+
+        return jax.lax.fori_loop(0, n_rows, row_body, carry)
+
+    # Pipeline state: one leaf in flight (being DMA'd) while internal nodes are
+    # tested; its MT sweep runs when the *next* leaf is found (whose DMA is
+    # started first, into the other slot) or when the stack drains.
+    def cond(c):
+        sp, t_best, slot, u, v, done, p_valid, p_row, p_rows, p_slot = c
+        # Keep iterating while there is a pending leaf DMA even once ``done``
+        # fires — an unwaited DMA must not outlive the kernel.
+        return ((sp > 0) & jnp.logical_not(done)) | (p_valid > 0)
+
+    def body(c):
+        sp, t_best, slot, u, v, done, p_valid, p_row, p_rows, p_slot = c
+
+        def drain(args):
+            """Stack empty: finish the pending leaf."""
+            sp, t_best, slot, u, v, done, p_valid, p_row, p_rows, p_slot = args
+            pltpu.make_async_copy(
+                tris_hbm_ref.at[pl.ds(p_row, leaf_rows)],
+                tri_buf.at[p_slot], dma_sem.at[p_slot],
+            ).wait()
+            t_best, slot, u, v = process_leaf((t_best, slot, u, v),
+                                              p_row, p_rows, p_slot)
+            return (sp, t_best, slot, u, v, done,
+                    jnp.int32(0), p_row, p_rows, p_slot)
+
+        def step(args):
+            sp, t_best, slot, u, v, done, p_valid, p_row, p_rows, p_slot = args
+            sp = sp - 1
+            ni = stack_ref[sp]
+            row = nodes_ref[ni]
+            tin, hit = _slab_tile(ox, oy, oz, ix, iy, iz,
+                                  row[0], row[1], row[2], row[3], row[4], row[5])
+            tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+            hit = hit & (tin <= t_best + tpad)
+            visit = jnp.any(hit)
+
+            is_leaf = row[10] > 0.5
+            row_first = row[8].astype(jnp.int32)
+            n_rows = row[9].astype(jnp.int32)
+
+            # --- leaf: start its DMA now, then retire the pending leaf ---
+            do_leaf = visit & is_leaf
+            new_slot = 1 - p_slot
+
+            @pl.when(do_leaf)
+            def _():
+                start_leaf_dma(row_first, new_slot).start()
+
+            def retire(carry):
+                t_b, sl, uu, vv = carry
+                pltpu.make_async_copy(
+                    tris_hbm_ref.at[pl.ds(p_row, leaf_rows)],
+                    tri_buf.at[p_slot], dma_sem.at[p_slot],
+                ).wait()
+                return process_leaf(carry, p_row, p_rows, p_slot)
+
+            t_best, slot, u, v = jax.lax.cond(
+                do_leaf & (p_valid > 0), retire, lambda carry: carry,
+                (t_best, slot, u, v),
+            )
+            p_valid = jnp.where(do_leaf, 1, p_valid)
+            p_row = jnp.where(do_leaf, row_first, p_row)
+            p_rows = jnp.where(do_leaf, n_rows, p_rows)
+            p_slot = jnp.where(do_leaf, new_slot, p_slot)
+
+            if any_hit:
+                done = done | jnp.all((slot >= 0) | (t0 < 0.0))
+
+            # --- internal: test both children, push far then near ---
+            li = row[6].astype(jnp.int32)
+            ri = row[7].astype(jnp.int32)
+            do_int = visit & jnp.logical_not(is_leaf)
+            lrow = nodes_ref[li]
+            rrow = nodes_ref[ri]
+            tl, hl = _slab_tile(ox, oy, oz, ix, iy, iz,
+                                lrow[0], lrow[1], lrow[2], lrow[3], lrow[4], lrow[5])
+            tr, hr = _slab_tile(ox, oy, oz, ix, iy, iz,
+                                rrow[0], rrow[1], rrow[2], rrow[3], rrow[4], rrow[5])
+            tpad2 = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+            hl = hl & (tl <= t_best + tpad2)
+            hr = hr & (tr <= t_best + tpad2)
+            any_l = do_int & jnp.any(hl)
+            any_r = do_int & jnp.any(hr)
+            big = jnp.float32(3.4e38)
+            min_tl = jnp.min(jnp.where(hl, tl, big))
+            min_tr = jnp.min(jnp.where(hr, tr, big))
+            left_near = min_tl <= min_tr
+            near_i = jnp.where(left_near, li, ri)
+            far_i = jnp.where(left_near, ri, li)
+            near_any = jnp.where(left_near, any_l, any_r)
+            far_any = jnp.where(left_near, any_r, any_l)
+            stack_ref[sp] = far_i
+            sp = sp + jnp.where(far_any, 1, 0)
+            stack_ref[sp] = jnp.where(near_any, near_i, stack_ref[sp])
+            sp = sp + jnp.where(near_any, 1, 0)
+
+            return (sp, t_best, slot, u, v, done,
+                    p_valid, p_row, p_rows, p_slot)
+
+        return jax.lax.cond((sp > 0) & jnp.logical_not(done), step, drain, c)
+
+    init = (
+        jnp.int32(1),
+        t0,
+        jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
+        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+        jnp.bool_(False),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    _, t_best, slot, u, v = out[0], out[1], out[2], out[3], out[4]
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u
+    v_ref[0] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "leaf_rows", "interpret"))
+def _bvh_hbm_call(rays6, tmax_tiles, nodes, tri_rows, any_hit=False,
+                  leaf_rows=4, interpret=False):
+    g = rays6[0].shape[0]
+    kernel = functools.partial(_bvh_hbm_kernel, any_hit=any_hit,
+                               leaf_rows=leaf_rows)
+    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[ray_spec() for _ in range(4)],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.VMEM((2, leaf_rows, TRIS_PER_ROW * 9), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes, tri_rows)
+
+
+def supports_pallas_bvh_hbm(scene: Scene) -> bool:
+    if scene.num_triangles <= 0:
+        return False
+    try:
+        choose_leaf_rows(scene.num_triangles)
+        return True
+    except ValueError:
+        return False
+
+
+def _run_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max, any_hit,
+             interpret):
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs)
+    if t_max is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.broadcast_to(jax.lax.stop_gradient(t_max), (n,)).astype(jnp.float32)
+    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    t, slot, u, v = _bvh_hbm_call(rays, tm_tiles, packed.nodes, packed.tri_rows,
+                                  any_hit=any_hit, leaf_rows=packed.leaf_rows,
+                                  interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), flat(slot), flat(u), flat(v), n
+
+
+def intersect_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
+                             t_max=None, interpret: bool | None = None) -> Hit:
+    """Closest-hit through the HBM-streaming BVH kernel (+ jnp spheres)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    t, slot, u, v, n = _run_hbm(scene, packed, origins, dirs, t_max, False,
+                                interpret)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
+    best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return _sphere_merge(scene, origins, dirs, best)
+
+
+def occluded_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max,
+                            interpret: bool | None = None):
+    """Any-hit via the HBM-streaming BVH kernel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    t, slot, _, _, n = _run_hbm(scene, packed, origins, dirs, t_max, True,
+                                interpret)
     blocked = slot >= 0
 
     num_spheres = scene.spheres.radius.shape[0]

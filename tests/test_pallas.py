@@ -134,6 +134,28 @@ def test_packed_bvh_invariants(scenes):
     assert np.abs(rows[pad_mask]).max() == 0.0
 
 
+def test_pallas_bvh_hbm_matches_brute(scenes):
+    # HBM-streaming variant: triangles DMA'd per leaf, double-buffered.
+    from cg_raytracer_tpu.ops.pallas_bvh import (build_hbm_bvh,
+                                                 intersect_pallas_bvh_hbm,
+                                                 occluded_pallas_bvh_hbm)
+
+    scene = scenes("monkey")
+    # Force small leaf_rows so many DMA round-trips are exercised.
+    _, hbvh = build_hbm_bvh(scene, leaf_rows=2)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 32, 32)
+    hb = intersect_brute(scene, o, d)
+    hp = intersect_pallas_bvh_hbm(scene, hbvh, o, d, interpret=True)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    tp = np.where(np.isinf(np.asarray(hp.t)), 1e9, np.asarray(hp.t))
+    assert np.isclose(tb, tp, atol=1e-4).mean() > 0.998
+    tm = jnp.full((o.shape[0],), 2.0, jnp.float32)
+    bb = np.asarray(occluded_brute(scene, o, d, tm))
+    bp = np.asarray(occluded_pallas_bvh_hbm(scene, hbvh, o, d, tm, interpret=True))
+    assert (bb == bp).mean() > 0.998
+
+
 def test_fused_bounce_matches_separate(scenes):
     from cg_raytracer_tpu.ops.pallas_kernels import (bounce_pallas,
                                                      supports_fused_bounce)
