@@ -27,6 +27,10 @@ SCENE_NAMES = (
     "dragon",
     "spheres",
     "custom",
+    # Report Table 2's custom benchmark scenes (data never committed upstream;
+    # procedural stand-ins at the reported triangle counts).
+    "teacup",
+    "donut",
 )
 
 
@@ -40,30 +44,24 @@ def default_data_dir() -> str:
     return "."
 
 
-def _procedural_dragon(num_subdiv: int = 7) -> dict:
-    """High-poly stand-in for the stripped dragon.obj: a displaced icosphere.
+def _grid_mesh(surface, nu: int, nv: int, wrap_u: bool, wrap_v: bool,
+               material: dict) -> dict:
+    """Triangulated parametric grid with area-weighted smooth vertex normals.
 
-    num_subdiv=7 would be huge; we build a UV-sphere grid sized to ~87K triangles
-    (matching the report's dragon triangle count) with a few low-frequency bumps so
-    the BVH actually has structure to exploit.
+    ``surface(uu, vv)`` maps meshgrid parameters in [0,1)x[0,1] to xyz arrays.
     """
-    # ~209*209*2 = 87k triangles
-    nu, nv = 210, 210
-    u = np.linspace(0.0, 2 * np.pi, nu, endpoint=False)
-    v = np.linspace(1e-3, np.pi - 1e-3, nv)
+    u = np.linspace(0.0, 1.0, nu, endpoint=not wrap_u)
+    v = np.linspace(0.0, 1.0, nv, endpoint=not wrap_v)
     uu, vv = np.meshgrid(u, v, indexing="ij")
-    r = 1.0 + 0.08 * np.sin(5 * uu) * np.sin(7 * vv) + 0.05 * np.cos(11 * vv)
-    x = r * np.sin(vv) * np.cos(uu)
-    y = r * np.cos(vv)
-    z = r * np.sin(vv) * np.sin(uu)
+    x, y, z = surface(uu, vv)
     pts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
 
     def vid(i, j):
-        return (i % nu) * nv + j
+        return (i % nu) * nv + (j % nv)
 
     tris = []
-    for i in range(nu):
-        for j in range(nv - 1):
+    for i in range(nu if wrap_u else nu - 1):
+        for j in range(nv if wrap_v else nv - 1):
             tris.append((vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)))
             tris.append((vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)))
     tris = np.asarray(tris, np.int32)
@@ -77,13 +75,60 @@ def _procedural_dragon(num_subdiv: int = 7) -> dict:
     lens = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = (normals / np.maximum(lens, 1e-20)).astype(np.float32)
 
-    return {
-        "vertices": pts,
-        "normals": normals,
-        "triangles": tris,
-        "material": {"kd": (0.8, 0.7, 0.5), "ks": (0.0, 0.0, 0.0),
-                     "shininess": 1.0, "transparency": 1.0},
-    }
+    return {"vertices": pts, "normals": normals, "triangles": tris,
+            "material": dict(material)}
+
+
+def _procedural_dragon() -> dict:
+    """High-poly stand-in for the stripped dragon.obj (87K tris per report.pdf):
+    a bumpy UV sphere so the BVH has real structure to exploit."""
+
+    def surface(uu, vv):
+        th = 2 * np.pi * uu
+        ph = 1e-3 + (np.pi - 2e-3) * vv
+        r = 1.0 + 0.08 * np.sin(5 * th) * np.sin(7 * ph) + 0.05 * np.cos(11 * ph)
+        return (r * np.sin(ph) * np.cos(th), r * np.cos(ph),
+                r * np.sin(ph) * np.sin(th))
+
+    # 210 * 209 * 2 = 87,780 triangles.
+    return _grid_mesh(surface, 210, 210, wrap_u=True, wrap_v=False,
+                      material={"kd": (0.8, 0.7, 0.5), "ks": (0.0, 0.0, 0.0),
+                                "shininess": 1.0, "transparency": 1.0})
+
+
+def _procedural_teacup() -> dict:
+    """Stand-in for the reference report's custom Teacup scene (48K triangles,
+    report.pdf Table 2; its .obj was never committed): a lathed cup profile."""
+
+    def surface(uu, vv):
+        th = 2 * np.pi * uu
+        # Cup profile: flared bowl with a lip, radius as a function of height.
+        h = vv  # 0 = base, 1 = rim
+        r = 0.25 + 0.55 * np.sqrt(np.clip(h, 0.0, 1.0)) + 0.05 * np.sin(6 * np.pi * h)
+        return r * np.cos(th), 1.4 * h - 0.7, r * np.sin(th)
+
+    # 160 * 150 * 2 = 48,000 triangles.
+    return _grid_mesh(surface, 160, 151, wrap_u=True, wrap_v=False,
+                      material={"kd": (0.85, 0.85, 0.9), "ks": (0.1, 0.1, 0.1),
+                                "shininess": 16.0, "transparency": 1.0})
+
+
+def _procedural_donut() -> dict:
+    """Stand-in for the reference report's custom Donut scene (320K triangles,
+    report.pdf Table 2; its .obj was never committed): a torus, sized past the
+    all-VMEM Pallas cap so it exercises the HBM-streaming BVH kernel."""
+
+    def surface(uu, vv):
+        th = 2 * np.pi * uu  # around the hole
+        ph = 2 * np.pi * vv  # around the tube
+        R, a = 1.0, 0.4
+        return ((R + a * np.cos(ph)) * np.cos(th), a * np.sin(ph),
+                (R + a * np.cos(ph)) * np.sin(th))
+
+    # 400 * 400 * 2 = 320,000 triangles.
+    return _grid_mesh(surface, 400, 400, wrap_u=True, wrap_v=True,
+                      material={"kd": (0.9, 0.6, 0.3), "ks": (0.0, 0.0, 0.0),
+                                "shininess": 1.0, "transparency": 1.0})
 
 
 def load_scene(name: str, data_dir: str | None = None) -> Scene:
@@ -132,5 +177,11 @@ def load_scene(name: str, data_dir: str | None = None) -> Scene:
                           point_lights=PointLights.of(((3, 0, 3), (15.0, 15.0, 15.0))))
     if name == "custom":
         meshes = load_obj(os.path.join(data_dir, "custom.obj"))
+        return make_scene(meshes, point_lights=PointLights.of(((-1, 1, -1), white)))
+    if name in ("teacup", "donut"):
+        from .loader import center_and_scale_to_unit
+
+        meshes = [_procedural_teacup() if name == "teacup" else _procedural_donut()]
+        center_and_scale_to_unit(meshes)
         return make_scene(meshes, point_lights=PointLights.of(((-1, 1, -1), white)))
     raise ValueError(f"Unknown scene {name!r}; choose from {SCENE_NAMES}")

@@ -4,9 +4,10 @@
 Same conditions as the reference: 800x800, Whitted depth 2, point/spherical lights
 per scene preset; soft shadows use the reference's 200 samples.  Prints one JSON
 line per scene with the wall-clock and the speedup vs the reference's CPU time
-(BASELINE.md).  The Dragon row uses the procedural stand-in (dragon.obj was
-stripped from the reference repo); Teacup/Donut rows are skipped (their data files
-were never committed).
+(BASELINE.md).  The Dragon/Teacup/Donut rows use procedural stand-ins at the
+reported triangle counts (their data files were stripped from / never committed
+to the reference repo).  Donut (320K tris) exercises the HBM-streaming Pallas
+BVH kernel; the others fit the all-VMEM kernel.
 """
 import json
 import time
@@ -18,7 +19,8 @@ REFERENCE_MS = {
     "cornell_box_spherical_light": 48_500.0,
     "monkey": 500.0,
     "dragon": 500.0,
-    "custom": None,  # reference custom = teacup (0.43 s), data not in repo
+    "teacup": 430.0,
+    "donut": 6_500.0,
 }
 
 
