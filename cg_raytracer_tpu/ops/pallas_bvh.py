@@ -372,7 +372,7 @@ class HBMBVH(NamedTuple):
     """Packed BVH with HBM-resident triangle rows (nodes stay VMEM-sized)."""
 
     nodes: jax.Array  # [Nn, 12] f32 (VMEM)
-    tri_rows: jax.Array  # [R + leaf_rows, 126] f32 (HBM; tail-padded)
+    tri_rows: jax.Array  # [R + leaf_rows, 128] f32 (HBM; lane- and tail-padded)
     slot_to_prim: jax.Array  # [R * 14] i32 (-1 on padding)
     num_nodes: int
     leaf_rows: int  # fixed DMA block height; every leaf has <= this many rows
@@ -405,12 +405,11 @@ def build_hbm_bvh(scene: Scene, leaf_rows: int | None = None):
         leaf_rows = choose_leaf_rows(scene.num_triangles)
     bvh = build_bvh(scene, max_leaf=leaf_rows * TRIS_PER_ROW)
     packed = pack_bvh_rows(bvh)
-    # Tail-pad so a fixed-size DMA starting at any leaf's first row stays in
+    # Pad lanes 126 -> 128 (Mosaic DMA slices must be lane-tile aligned) and
+    # tail-pad so a fixed-size DMA starting at any leaf's first row stays in
     # bounds (over-read rows beyond the leaf are never processed).
-    tri_rows = jnp.concatenate(
-        [packed.tri_rows,
-         jnp.zeros((leaf_rows, TRIS_PER_ROW * 9), jnp.float32)], axis=0
-    )
+    tri_rows = jnp.pad(packed.tri_rows,
+                       ((0, leaf_rows), (0, 128 - TRIS_PER_ROW * 9)))
     return bvh, HBMBVH(
         nodes=packed.nodes,
         tri_rows=tri_rows,
@@ -598,7 +597,7 @@ def _bvh_hbm_call(rays6, tmax_tiles, nodes, tri_rows, any_hit=False,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
-            pltpu.VMEM((2, leaf_rows, TRIS_PER_ROW * 9), jnp.float32),
+            pltpu.VMEM((2, leaf_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
