@@ -76,11 +76,13 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
                 bounce=bounce,
             )
-        from ..ops.pallas_bvh import (HBMBVH, PackedBVH, build_hbm_bvh,
-                                      build_packed_bvh, intersect_pallas_bvh,
+        from ..ops.pallas_bvh import (HBMBVH, PackedBVH, bounce_pallas_bvh,
+                                      build_hbm_bvh, build_packed_bvh,
+                                      intersect_pallas_bvh,
                                       intersect_pallas_bvh_hbm,
                                       occluded_pallas_bvh,
                                       occluded_pallas_bvh_hbm,
+                                      supports_fused_bounce_bvh,
                                       supports_pallas_bvh,
                                       supports_pallas_bvh_hbm)
 
@@ -97,9 +99,13 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 # Host-side packing — must happen outside jit (build_accel does this).
                 _, bvh = build_packed_bvh(scene)
             packed = bvh
+            bounce = None
+            if supports_fused_bounce_bvh(scene):
+                bounce = lambda o, d: bounce_pallas_bvh(scene, packed, o, d)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d),
                 occluded=lambda o, d, tm: occluded_pallas_bvh(scene, packed, o, d, tm),
+                bounce=bounce,
             )
         if supports_pallas_bvh_hbm(scene):
             # Past the VMEM cap: nodes stay on-chip, triangles stream from HBM.

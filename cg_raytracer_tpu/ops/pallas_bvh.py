@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.types import Scene
 from .bvh import BVH, _SLAB_EPS, build_bvh
 from .intersect import MISS, Hit, intersect_spheres_one
-from .pallas_kernels import RAY_COLS, RAY_ROWS, RAY_TILE, _mt_tile, _pack_rays
+from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, RAY_TILE,
+                             SHADOW_EPS, _mt_tile, _pack_rays)
 
 MAX_STACK = 64
 TRIS_PER_ROW = 14  # 14 * 9 = 126 lanes used of 128
@@ -149,13 +150,15 @@ def _slab_tile(ox, oy, oz, ix, iy, iz, lo0, lo1, lo2, hi0, hi1, hi2):
     return tin, hit
 
 
-def _bvh_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                tmax_ref, nodes_ref, tris_ref, t_ref, slot_ref,
-                u_ref, v_ref, stack_ref, *, any_hit: bool):
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+def _traverse_vmem(stack_ref, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+                   t0, any_hit: bool):
+    """Tile-synchronous traversal over the all-VMEM packed tree.
+
+    Reusable inside a kernel body (the fused bounce kernel runs it once for the
+    closest hit and once per light for shadow any-hits, sharing one SMEM stack).
+    Returns (t_best, slot, u, v) tiles; slot == -1 where the ray missed.
+    """
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-    t0 = tmax_ref[0]
 
     stack_ref[0] = jnp.int32(0)
 
@@ -244,10 +247,72 @@ def _bvh_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         jnp.bool_(False),
     )
     _, t_best, slot, u, v, _ = jax.lax.while_loop(cond, body, init)
+    return t_best, slot, u, v
+
+
+def _bvh_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                tmax_ref, nodes_ref, tris_ref, t_ref, slot_ref,
+                u_ref, v_ref, stack_ref, *, any_hit: bool):
+    t_best, slot, u, v = _traverse_vmem(
+        stack_ref, nodes_ref, tris_ref,
+        ox_ref[0], oy_ref[0], oz_ref[0], dx_ref[0], dy_ref[0], dz_ref[0],
+        tmax_ref[0], any_hit=any_hit,
+    )
     t_ref[0] = t_best
     slot_ref[0] = slot
     u_ref[0] = u
     v_ref[0] = v
+
+
+def _bvh_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref, nodes_ref, tris_ref, lights_ref,
+                       t_ref, slot_ref, u_ref, v_ref, shadow_ref, stack_ref,
+                       *, num_lights: int):
+    """Fused bounce through the VMEM BVH: one closest-hit traversal plus a
+    shadow any-hit traversal per point light, sharing the tile and SMEM stack.
+    Same contract as the brute ``_bounce_kernel`` (pallas_kernels.py): bit l of
+    the int32 shadow tile marks light l occluded (pointInShadow,
+    main.cpp:104-135); bits are only meaningful where the ray hit."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    t_best, slot, u, v = _traverse_vmem(
+        stack_ref, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+        tmax_ref[0], any_hit=False,
+    )
+
+    hit = slot >= 0
+    t_hit = jnp.where(hit, t_best, 0.0)
+    px = ox + dx * t_hit
+    py = oy + dy * t_hit
+    pz = oz + dz * t_hit
+
+    shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+        tx = lrow[0] - px
+        ty = lrow[1] - py
+        tz = lrow[2] - pz
+        dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        inv = 1.0 / jnp.maximum(dist, 1e-20)
+        sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+        sox = px + SHADOW_EPS * sdx
+        soy = py + SHADOW_EPS * sdy
+        soz = pz + SHADOW_EPS * sdz
+        # Missed pixels carry t_max < 0: the root slab test rejects them and the
+        # any-hit early exit treats them as done, so they add no traversal work.
+        tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+        _, slot_s, _, _ = _traverse_vmem(
+            stack_ref, nodes_ref, tris_ref, sox, soy, soz, sdx, sdy, sdz,
+            tmax_l, any_hit=True,
+        )
+        shadow_bits = shadow_bits | ((slot_s >= 0).astype(jnp.int32) << li)
+
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u
+    v_ref[0] = v
+    shadow_ref[0] = shadow_bits
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
@@ -352,6 +417,74 @@ def occluded_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs, t_max,
         )(scene.spheres.center, scene.spheres.radius)
         blocked = blocked | jnp.any(valid_s & (t_s < tm[None, :]), axis=0)
     return blocked
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bvh_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights, interpret=False):
+    g = rays6[0].shape[0]
+    kernel = functools.partial(_bvh_bounce_kernel, num_lights=lights.shape[0])
+    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light positions [L, 3]
+        ],
+        out_specs=[ray_spec() for _ in range(5)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes, tri_rows, lights)
+
+
+def supports_fused_bounce_bvh(scene: Scene) -> bool:
+    """Fused BVH bounce: VMEM-resident scene, point lights, no sphere primitives
+    (spheres would need merging inside the kernel; spherical *lights* are fine —
+    their soft shadows go through the separate any-hit oracle)."""
+    return (
+        supports_pallas_bvh(scene)
+        and scene.spheres.radius.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+    )
+
+
+def bounce_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
+                      interpret: bool | None = None):
+    """Fused closest-hit + per-point-light shadow query through the BVH.
+
+    Returns (Hit, shadow_bits [N] int32), the same contract as the brute
+    ``bounce_pallas`` (pallas_kernels.py) — one kernel instead of
+    1 + num_lights dispatches, and no [N]-ray HBM round trips between them.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs)
+    # Padding rays carry t_max < 0: the slab test rejects them everywhere, so
+    # they add no traversal work and are exempt from the any-hit early exit.
+    tm = jnp.full((n,), jnp.inf, jnp.float32)
+    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    t, slot, u, v, bits = _bvh_bounce_call(
+        rays, tm_tiles, packed.nodes, packed.tri_rows, lights,
+        interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
+    hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return hit, bits
 
 
 # ---------------------------------------------------------------------------

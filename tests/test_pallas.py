@@ -134,6 +134,40 @@ def test_packed_bvh_invariants(scenes):
     assert np.abs(rows[pad_mask]).max() == 0.0
 
 
+def test_bvh_fused_bounce_matches_separate(scenes):
+    from cg_raytracer_tpu.ops.intersect import reconstruct_hit
+    from cg_raytracer_tpu.ops.linalg import norm, safe_normalize
+    from cg_raytracer_tpu.ops.pallas_bvh import (bounce_pallas_bvh,
+                                                 build_packed_bvh,
+                                                 supports_fused_bounce_bvh)
+
+    scene = scenes("monkey")  # 968 tris, 2 point lights
+    assert supports_fused_bounce_bvh(scene)
+    _, bvh = build_packed_bvh(scene)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 32, 32)
+    hit_f, bits = bounce_pallas_bvh(scene, bvh, o, d, interpret=True)
+    hit_b = intersect_brute(scene, o, d)
+    tb = np.where(np.isinf(np.asarray(hit_b.t)), 1e9, np.asarray(hit_b.t))
+    tf = np.where(np.isinf(np.asarray(hit_f.t)), 1e9, np.asarray(hit_f.t))
+    assert np.isclose(tb, tf, atol=1e-4).mean() > 0.998
+
+    # Shadow bits match the separate any-hit path for both lights, where hit.
+    surf = reconstruct_hit(scene, o, d, hit_b)
+    agree = np.asarray(hit_b.prim_id) == np.asarray(hit_f.prim_id)
+    for li in range(2):
+        lpos = scene.point_lights.position[li]
+        to_light = lpos - surf.position
+        dist = norm(to_light)
+        ldir = safe_normalize(to_light)
+        blocked_sep = np.asarray(
+            occluded_brute(scene, surf.position + 1e-3 * ldir, ldir, dist - 1e-3)
+        )
+        blocked_fused = (np.asarray(bits) >> li) & 1
+        mask = np.asarray(surf.valid) & agree
+        assert (blocked_sep[mask] == blocked_fused[mask]).mean() > 0.995, f"light {li}"
+
+
 def test_pallas_bvh_hbm_matches_brute(scenes):
     # HBM-streaming variant: triangles DMA'd per leaf, double-buffered.
     from cg_raytracer_tpu.ops.pallas_bvh import (build_hbm_bvh,
