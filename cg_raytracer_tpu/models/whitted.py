@@ -63,7 +63,7 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
     if kind == "pallas":
         # Small scenes: tiled brute-force kernel.  Larger scenes: the
         # tile-synchronous BVH traversal kernel (tree packed into VMEM).
-        if scene.num_triangles <= cfg.brute_force_max_tris:
+        if scene.num_triangles <= cfg.pallas_brute_max_tris:
             from ..ops.pallas_kernels import (bounce_pallas, intersect_pallas,
                                               occluded_pallas,
                                               supports_fused_bounce)
@@ -77,23 +77,30 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 bounce=bounce,
             )
         from ..ops.pallas_bvh import (HBMBVH, PackedBVH, bounce_pallas_bvh,
-                                      build_hbm_bvh, build_packed_bvh,
-                                      intersect_pallas_bvh,
+                                      bounce_pallas_bvh_hbm, build_hbm_bvh,
+                                      build_packed_bvh, intersect_pallas_bvh,
                                       intersect_pallas_bvh_hbm,
                                       occluded_pallas_bvh,
                                       occluded_pallas_bvh_hbm,
                                       supports_fused_bounce_bvh,
+                                      supports_fused_bounce_bvh_hbm,
                                       supports_pallas_bvh,
                                       supports_pallas_bvh_hbm)
 
-        if isinstance(bvh, HBMBVH):
-            # Caller explicitly built the HBM-streaming structure — honor it
-            # even when the scene would also fit the all-VMEM kernel.
-            hbm = bvh
+        def _hbm_backend(hbm):
+            # NOTE: bounce_pallas_bvh_hbm exists and matches in interpret mode,
+            # but the compiled kernel (two DMA-pipelined traversals back to back)
+            # faults on real TPU — keep the HBM path on separate dispatches
+            # until that is root-caused.  (VMEM fused bounce is fine and wired.)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh_hbm(scene, hbm, o, d),
                 occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(scene, hbm, o, d, tm),
             )
+
+        if isinstance(bvh, HBMBVH):
+            # Caller explicitly built the HBM-streaming structure — honor it
+            # even when the scene would also fit the all-VMEM kernel.
+            return _hbm_backend(bvh)
         if supports_pallas_bvh(scene):
             if not isinstance(bvh, PackedBVH):
                 # Host-side packing — must happen outside jit (build_accel does this).
@@ -111,11 +118,7 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             # Past the VMEM cap: nodes stay on-chip, triangles stream from HBM.
             if not isinstance(bvh, HBMBVH):
                 _, bvh = build_hbm_bvh(scene)
-            packed = bvh
-            return Backend(
-                closest=lambda o, d: intersect_pallas_bvh_hbm(scene, packed, o, d),
-                occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(scene, packed, o, d, tm),
-            )
+            return _hbm_backend(bvh)
         raise ValueError(
             "pallas BVH backend: scene exceeds even the HBM-streaming node "
             "budget; use backend='bvh' for this scene"
@@ -251,23 +254,54 @@ def needs_bvh(cfg: RenderConfig, num_tris: int) -> bool:
     """Whether the resolved backend requires a prebuilt acceleration structure
     (host-side build — must happen outside jit)."""
     kind = cfg.resolve_backend(num_tris)
-    return kind == "bvh" or (kind == "pallas" and num_tris > cfg.brute_force_max_tris)
+    return kind == "bvh" or (kind == "pallas" and num_tris > cfg.pallas_brute_max_tris)
 
 
 def build_accel(scene: Scene, cfg: RenderConfig):
     """Host-side acceleration-structure build for the resolved backend: a BVH for
-    the jnp traversal, a PackedBVH for the Pallas kernel, or None."""
+    the jnp traversal, a PackedBVH/HBMBVH for the Pallas kernels, or None.
+
+    Memoized on the identity of the scene's triangle buffer: the build is a
+    host-side Python pass plus a device upload (512 B/node + 36 B/triangle), so
+    rebuilding it inside a render loop would dominate the render itself —
+    ``render(bvh=None)`` calls this every frame and relies on the cache.
+    """
     kind = cfg.resolve_backend(scene.num_triangles)
     if kind == "bvh":
-        return build_bvh(scene)
-    if kind == "pallas" and scene.num_triangles > cfg.brute_force_max_tris:
+        return _cached_accel(scene, ("bvh",), lambda: build_bvh(scene))
+    if kind == "pallas" and scene.num_triangles > cfg.pallas_brute_max_tris:
         from ..ops.pallas_bvh import (build_hbm_bvh, build_packed_bvh,
                                       supports_pallas_bvh)
 
         if supports_pallas_bvh(scene):
-            return build_packed_bvh(scene)[1]
-        return build_hbm_bvh(scene)[1]
+            return _cached_accel(scene, ("pallas-vmem",),
+                                 lambda: build_packed_bvh(scene)[1])
+        return _cached_accel(scene, ("pallas-hbm",),
+                             lambda: build_hbm_bvh(scene)[1])
     return None
+
+
+_ACCEL_CACHE: dict = {}
+
+
+def _cached_accel(scene: Scene, tag: tuple, builder):
+    """Accel memo keyed on the triangle/vertex buffer identities (geometry only
+    — materials and lights don't affect the tree).  Entries are evicted when the
+    keying buffers are garbage-collected, so a stale id() can never be reused."""
+    import weakref
+
+    tris, verts = scene.triangles, scene.vertices
+    key = (id(tris), id(verts), int(scene.num_triangles)) + tag
+    hit = _ACCEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    accel = _ACCEL_CACHE[key] = builder()
+    for buf in (tris, verts):
+        try:
+            weakref.finalize(buf, _ACCEL_CACHE.pop, key, None)
+        except TypeError:  # non-weakrefable leaf (e.g. numpy scalar): no eviction
+            pass
+    return accel
 
 
 import functools

@@ -552,14 +552,15 @@ def build_hbm_bvh(scene: Scene, leaf_rows: int | None = None):
     )
 
 
-def _bvh_hbm_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    tmax_ref, nodes_ref, tris_hbm_ref, t_ref, slot_ref,
-                    u_ref, v_ref, stack_ref, tri_buf, dma_sem,
-                    *, any_hit: bool, leaf_rows: int):
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+def _traverse_hbm(stack_ref, nodes_ref, tris_hbm_ref, tri_buf, dma_sem,
+                  ox, oy, oz, dx, dy, dz, t0,
+                  any_hit: bool, leaf_rows: int):
+    """HBM-streaming traversal, reusable inside a kernel body (the fused bounce
+    kernel runs it once for the closest hit and once per light for shadow
+    any-hits, sharing the SMEM stack, the double-buffered triangle scratch, and
+    the DMA semaphores — all fully drained between calls).
+    Returns (t_best, slot, u, v) tiles; slot == -1 where the ray missed."""
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-    t0 = tmax_ref[0]
 
     stack_ref[0] = jnp.int32(0)
 
@@ -697,11 +698,72 @@ def _bvh_hbm_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
-    _, t_best, slot, u, v = out[0], out[1], out[2], out[3], out[4]
+    return out[1], out[2], out[3], out[4]
+
+
+def _bvh_hbm_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmax_ref, nodes_ref, tris_hbm_ref, t_ref, slot_ref,
+                    u_ref, v_ref, stack_ref, tri_buf, dma_sem,
+                    *, any_hit: bool, leaf_rows: int):
+    t_best, slot, u, v = _traverse_hbm(
+        stack_ref, nodes_ref, tris_hbm_ref, tri_buf, dma_sem,
+        ox_ref[0], oy_ref[0], oz_ref[0], dx_ref[0], dy_ref[0], dz_ref[0],
+        tmax_ref[0], any_hit=any_hit, leaf_rows=leaf_rows,
+    )
     t_ref[0] = t_best
     slot_ref[0] = slot
     u_ref[0] = u
     v_ref[0] = v
+
+
+def _bvh_hbm_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           tmax_ref, nodes_ref, tris_hbm_ref, lights_ref,
+                           t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                           stack_ref, tri_buf, dma_sem,
+                           *, num_lights: int, leaf_rows: int):
+    """Fused bounce through the HBM-streaming BVH: closest-hit traversal plus a
+    shadow any-hit traversal per point light.  Same contract as the VMEM
+    ``_bvh_bounce_kernel``."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    t_best, slot, u, v = _traverse_hbm(
+        stack_ref, nodes_ref, tris_hbm_ref, tri_buf, dma_sem,
+        ox, oy, oz, dx, dy, dz, tmax_ref[0],
+        any_hit=False, leaf_rows=leaf_rows,
+    )
+
+    hit = slot >= 0
+    t_hit = jnp.where(hit, t_best, 0.0)
+    px = ox + dx * t_hit
+    py = oy + dy * t_hit
+    pz = oz + dz * t_hit
+
+    shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+        tx = lrow[0] - px
+        ty = lrow[1] - py
+        tz = lrow[2] - pz
+        dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        inv = 1.0 / jnp.maximum(dist, 1e-20)
+        sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+        sox = px + SHADOW_EPS * sdx
+        soy = py + SHADOW_EPS * sdy
+        soz = pz + SHADOW_EPS * sdz
+        tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+        _, slot_s, _, _ = _traverse_hbm(
+            stack_ref, nodes_ref, tris_hbm_ref, tri_buf, dma_sem,
+            sox, soy, soz, sdx, sdy, sdz, tmax_l,
+            any_hit=True, leaf_rows=leaf_rows,
+        )
+        shadow_bits = shadow_bits | ((slot_s >= 0).astype(jnp.int32) << li)
+
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u
+    v_ref[0] = v
+    shadow_ref[0] = shadow_bits
 
 
 @functools.partial(jax.jit,
@@ -795,3 +857,69 @@ def occluded_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max,
         )(scene.spheres.center, scene.spheres.radius)
         blocked = blocked | jnp.any(valid_s & (t_s < tm[None, :]), axis=0)
     return blocked
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_rows", "interpret"))
+def _bvh_hbm_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights,
+                         leaf_rows=4, interpret=False):
+    g = rays6[0].shape[0]
+    kernel = functools.partial(_bvh_hbm_bounce_kernel,
+                               num_lights=lights.shape[0], leaf_rows=leaf_rows)
+    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
+            pl.BlockSpec(memory_space=pl.ANY),      # tri rows (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light positions [L, 3]
+        ],
+        out_specs=[ray_spec() for _ in range(5)],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.VMEM((2, leaf_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes, tri_rows, lights)
+
+
+def supports_fused_bounce_bvh_hbm(scene: Scene) -> bool:
+    """Fused HBM bounce: streaming-capable scene, point lights, no spheres."""
+    return (
+        supports_pallas_bvh_hbm(scene)
+        and scene.spheres.radius.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+    )
+
+
+def bounce_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
+                          interpret: bool | None = None):
+    """Fused closest-hit + per-point-light shadow query, HBM-streaming variant.
+    Same (Hit, shadow_bits) contract as ``bounce_pallas_bvh``."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs)
+    tm = jnp.full((n,), jnp.inf, jnp.float32)
+    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    t, slot, u, v, bits = _bvh_hbm_bounce_call(
+        rays, tm_tiles, packed.nodes, packed.tri_rows, lights,
+        leaf_rows=packed.leaf_rows, interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
+    hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return hit, bits

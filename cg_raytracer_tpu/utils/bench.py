@@ -32,7 +32,14 @@ def time_fn(fn, *args, iters: int = 5, warmup: int = 2):
 
 def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
               backend: str = "auto", include_bwd: bool = True, iters: int = 5,
-              max_depth: int = 2, data_dir: Optional[str] = None) -> dict:
+              max_depth: int = 2, data_dir: Optional[str] = None,
+              frames_per_call: int = 8) -> dict:
+    """Steady-state throughput: ``frames_per_call`` frames (distinct PRNG keys)
+    are computed inside ONE jitted call via ``lax.scan`` and the wall time is
+    divided by the frame count.  A single frame per call would mostly measure
+    the fixed per-dispatch cost (~25 ms through the remote-device tunnel), not
+    the renderer; batching amortizes it exactly like a production render/train
+    loop does."""
     from .. import Camera, RenderConfig, load_scene
     from ..models.whitted import build_accel, make_backend, needs_bvh, render_image
     from ..optim.inverse import apply_material_params, material_params
@@ -49,6 +56,17 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
     key = jax.random.PRNGKey(0)
     bvh = build_accel(scn, cfg) if needs_bvh(cfg, scn.num_triangles) else None
 
+    keys = jax.random.split(key, frames_per_call)
+
+    def jittered(cam_, key_):
+        # Sub-pixel camera jitter per frame: keeps every scanned frame a real,
+        # distinct render — otherwise point-light scenes ignore the PRNG key and
+        # XLA could hoist the loop-invariant render out of the scan.
+        import dataclasses as _dc
+
+        eps = jax.random.uniform(key_, (3,), jnp.float32, -1e-4, 1e-4)
+        return _dc.replace(cam_, look_at=cam_.look_at + eps)
+
     if include_bwd:
         params = material_params(scn)
 
@@ -58,18 +76,33 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
             img = render_image(scn_p, cam_, cfg, backend=be, key=key_)
             return jnp.mean(img)
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-        best = time_fn(grad_fn, params, scn, camera, key, iters=iters)
+        @jax.jit
+        def steps(params_, scn_, cam_, keys_):
+            def one(carry, key_):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params_, scn_, jittered(cam_, key_), key_)
+                return carry + loss, grads
+
+            total, grads = jax.lax.scan(one, jnp.float32(0.0), keys_)
+            return total, grads
+
+        best = time_fn(steps, params, scn, camera, keys, iters=iters)
         mode = "fwd+bwd"
     else:
-        def fwd(scn_, cam_, key_):
-            be = make_backend(scn_, cfg, bvh=bvh)
-            return render_image(scn_, cam_, cfg, backend=be, key=key_)
+        @jax.jit
+        def frames(scn_, cam_, keys_):
+            def one(carry, key_):
+                be = make_backend(scn_, cfg, bvh=bvh)
+                img = render_image(scn_, jittered(cam_, key_), cfg,
+                                   backend=be, key=key_)
+                return carry + jnp.mean(img), None
 
-        fwd_j = jax.jit(fwd)
-        best = time_fn(fwd_j, scn, camera, key, iters=iters)
+            return jax.lax.scan(one, jnp.float32(0.0), keys_)[0]
+
+        best = time_fn(frames, scn, camera, keys, iters=iters)
         mode = "fwd"
 
+    best = best / frames_per_call
     rays = width * height
     rays_per_s = rays / best
     return {

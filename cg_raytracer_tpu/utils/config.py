@@ -26,6 +26,10 @@ class RenderConfig:
     reference_quirks: bool = False  # reproduce documented reference bugs (SURVEY §0)
     # auto backend: brute force below this triangle count, BVH above.
     brute_force_max_tris: int = 4096
+    # Within the pallas backend: tiled brute-force kernel below this count, BVH
+    # traversal kernel above.  Measured crossover on v5e is a few hundred tris
+    # (monkey @968: brute 166 ms vs BVH 54 ms per 640K-ray frame).
+    pallas_brute_max_tris: int = 256
 
     def resolve_backend(self, num_tris: int, platform: str | None = None) -> str:
         if self.backend != "auto":

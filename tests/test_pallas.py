@@ -190,6 +190,27 @@ def test_pallas_bvh_hbm_matches_brute(scenes):
     assert (bb == bp).mean() > 0.998
 
 
+def test_hbm_fused_bounce_matches_vmem(scenes):
+    # HBM-streaming fused bounce agrees with the (already-validated) VMEM one.
+    from cg_raytracer_tpu.ops.pallas_bvh import (bounce_pallas_bvh,
+                                                 bounce_pallas_bvh_hbm,
+                                                 build_hbm_bvh,
+                                                 build_packed_bvh,
+                                                 supports_fused_bounce_bvh_hbm)
+
+    scene = scenes("monkey")
+    assert supports_fused_bounce_bvh_hbm(scene)
+    _, vbvh = build_packed_bvh(scene)
+    _, hbvh = build_hbm_bvh(scene, leaf_rows=2)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 32, 32)
+    hit_v, bits_v = bounce_pallas_bvh(scene, vbvh, o, d, interpret=True)
+    hit_h, bits_h = bounce_pallas_bvh_hbm(scene, hbvh, o, d, interpret=True)
+    agree = np.asarray(hit_v.prim_id) == np.asarray(hit_h.prim_id)
+    assert agree.mean() > 0.998  # different leaf widths: rare coincident-t ties
+    assert (np.asarray(bits_v)[agree] == np.asarray(bits_h)[agree]).mean() > 0.995
+
+
 def test_fused_bounce_matches_separate(scenes):
     from cg_raytracer_tpu.ops.pallas_kernels import (bounce_pallas,
                                                      supports_fused_bounce)
