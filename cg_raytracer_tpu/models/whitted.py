@@ -88,13 +88,13 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                       supports_pallas_bvh_hbm)
 
         def _hbm_backend(hbm):
-            # NOTE: bounce_pallas_bvh_hbm exists and matches in interpret mode,
-            # but the compiled kernel (two DMA-pipelined traversals back to back)
-            # faults on real TPU — keep the HBM path on separate dispatches
-            # until that is root-caused.  (VMEM fused bounce is fine and wired.)
+            bounce = None
+            if supports_fused_bounce_bvh_hbm(scene):
+                bounce = lambda o, d: bounce_pallas_bvh_hbm(scene, hbm, o, d)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh_hbm(scene, hbm, o, d),
                 occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(scene, hbm, o, d, tm),
+                bounce=bounce,
             )
 
         if isinstance(bvh, HBMBVH):
@@ -126,7 +126,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
     raise ValueError(f"Unknown backend {kind!r}")
 
 
-def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend, key):
+def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend, key,
+               sample_constrain=None):
     """Iterative Whitted trace of a ray batch -> color [N,3].
 
     Parity notes vs the reference:
@@ -157,6 +158,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
             soft_shadow_samples=cfg.soft_shadow_samples,
             sample_chunk=cfg.soft_shadow_chunk,
             shadow_bits=shadow_bits,
+            sample_constrain=sample_constrain,
         )
         lit = active & surf.valid
         color = color + throughput * direct * lit[..., None].astype(jnp.float32)
@@ -178,7 +180,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
 
 
 def _render_flat(scene: Scene, camera: Camera, cfg: RenderConfig, backend: Backend,
-                 key, offset=(0.0, 0.0)):
+                 key, offset=(0.0, 0.0), sample_constrain=None):
     origins, dirs = cam_ops.generate_rays(camera, cfg.height, cfg.width, offset=offset)
     if cfg.ray_chunk and cfg.ray_chunk < origins.shape[0]:
         num = origins.shape[0]
@@ -189,22 +191,27 @@ def _render_flat(scene: Scene, camera: Camera, cfg: RenderConfig, backend: Backe
         o = o.reshape(-1, chunk, 3)
         d = d.reshape(-1, chunk, 3)
         colors = jax.lax.map(
-            lambda od: trace_rays(scene, od[0], od[1], cfg, backend, key), (o, d)
+            lambda od: trace_rays(scene, od[0], od[1], cfg, backend, key,
+                                  sample_constrain=sample_constrain), (o, d)
         )
         color = colors.reshape(-1, 3)[:num]
     else:
-        color = trace_rays(scene, origins, dirs, cfg, backend, key)
+        color = trace_rays(scene, origins, dirs, cfg, backend, key,
+                           sample_constrain=sample_constrain)
     return color.reshape(cfg.height, cfg.width, 3)
 
 
 def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
                  backend: Optional[Backend] = None, bvh: Optional[BVH] = None,
-                 key=None):
+                 key=None, sample_constrain=None):
     """Full render: AA supersampling + bloom + motion blur post-passes.
 
     This is the functional equivalent of ``renderRayTracing`` (main.cpp:648-720).
     Returns [H, W, 3] float32 in image-row order (row 0 = top), linear values
     (clamp/quantize happens at write time, parity with screen.cpp:38-49).
+
+    ``sample_constrain``: optional sharding constraint for the soft-shadow
+    sample axis (parallel/sharding.py::sample_sharded_render).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -216,10 +223,12 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     def base_render(camera_, key_):
         if cfg.anti_aliasing:
             return effects.supersample_render(
-                lambda off: _render_flat(scene, camera_, cfg, backend, key_, offset=off),
+                lambda off: _render_flat(scene, camera_, cfg, backend, key_,
+                                         offset=off, sample_constrain=sample_constrain),
                 cfg,
             )
-        return _render_flat(scene, camera_, cfg, backend, key_)
+        return _render_flat(scene, camera_, cfg, backend, key_,
+                            sample_constrain=sample_constrain)
 
     if cfg.motion_blur:
         img = effects.motion_blur(base_render, camera, cfg, key)

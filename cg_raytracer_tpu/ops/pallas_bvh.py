@@ -57,6 +57,9 @@ VMEM_MAX_TRIS = 200_000
 # HBM-resident variant: only the node table must fit in VMEM (512 B/node row);
 # triangles stream in per-leaf via async DMA.  Budget ~6 MB of VMEM for nodes.
 HBM_NODE_BYTES_BUDGET = 6 * 1024 * 1024
+# Largest scene the HBM variant covers: node budget / 512 B = max 2*leaves nodes,
+# each leaf at most 32 rows * 14 tris at the widest leaf setting.
+HBM_MAX_TRIS = (HBM_NODE_BYTES_BUDGET // 512 // 2) * 32 * TRIS_PER_ROW
 
 
 class PackedBVH(NamedTuple):

@@ -90,7 +90,8 @@ def _random_unit_vectors(key, shape):
 
 
 def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, key,
-                            num_samples: int = 200, sample_chunk: int = 20):
+                            num_samples: int = 200, sample_chunk: int = 20,
+                            sample_constrain=None):
     """Soft-shadowed Phong from spherical lights.
 
     Parity with main.cpp:168-218: shading terms use the light *center*; visibility is
@@ -98,6 +99,13 @@ def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, 
     on the light sphere that reach the light (miss, or first hit beyond the sample
     point).  The sample axis is chunked via ``lax.scan`` to bound memory at
     O(N * sample_chunk).
+
+    ``sample_constrain`` (optional): callable applied to the per-chunk [C, N, 3]
+    sample-direction batch; the sharded render path passes a
+    ``with_sharding_constraint`` to P('samples', 'rays') so each chunk's shadow
+    rays split over a second mesh axis and XLA reduces the visibility counts
+    across it (parallel/sharding.py::sample_sharded_render) — the framework's
+    sequence/sample-parallel axis (SURVEY §5 long-context row).
     """
     num_lights = scene.spherical_lights.position.shape[0]
     if num_lights == 0:
@@ -117,6 +125,8 @@ def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, 
         def chunk_body(carry, ci):
             ckey = jax.random.fold_in(jax.random.fold_in(key, li), ci)
             units = _random_unit_vectors(ckey, (sample_chunk, n))  # [C,N,3]
+            if sample_constrain is not None:
+                units = sample_constrain(units)
             sample_pts = lpos + lrad * units
             to_sample = sample_pts - surf.position[None]
             sdir = safe_normalize(to_sample)
@@ -143,12 +153,13 @@ def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, 
 
 def direct_light(scene: Scene, view_dir, surf: Surface, occluded_fn, key,
                  soft_shadow_samples: int = 200, sample_chunk: int = 20,
-                 shadow_bits=None):
+                 shadow_bits=None, sample_constrain=None):
     """Total direct lighting = point lights + spherical lights (shading(), main.cpp:160-235)."""
     color = direct_point_lights(scene, view_dir, surf, occluded_fn,
                                 shadow_bits=shadow_bits)
     color = color + direct_spherical_lights(
         scene, view_dir, surf, occluded_fn, key,
         num_samples=soft_shadow_samples, sample_chunk=sample_chunk,
+        sample_constrain=sample_constrain,
     )
     return color

@@ -33,6 +33,7 @@ from ..scene.types import Camera, Scene
 from ..utils.config import RenderConfig
 
 RAY_AXIS = "rays"
+SAMPLE_AXIS = "samples"
 
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -42,6 +43,31 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def make_mesh2(ray_devices: int, sample_devices: int, devices=None) -> Mesh:
+    """2-D mesh ('rays', 'samples'): pixel rows over one axis, soft-shadow
+    samples over the other — the framework's sample/sequence-parallel axis
+    (SURVEY §5 long-context row).  Useful when the per-hit sample count (200
+    shadow rays in the reference workload) is the dominant dimension."""
+    if devices is None:
+        devices = jax.devices()
+    n = ray_devices * sample_devices
+    return Mesh(np.asarray(devices[:n]).reshape(ray_devices, sample_devices),
+                (RAY_AXIS, SAMPLE_AXIS))
+
+
+def sample_constraint(mesh: Mesh):
+    """Constraint callable for the per-chunk [C, N, 3] soft-shadow sample batch
+    (ops/shading.py::direct_spherical_lights): chunk samples split over the
+    'samples' mesh axis, rays over 'rays'; XLA reduces the visibility counts
+    across the sample axis at the sharded->unsharded boundary."""
+    spec = NamedSharding(mesh, P(SAMPLE_AXIS, RAY_AXIS, None))
+
+    def constrain(units):
+        return jax.lax.with_sharding_constraint(units, spec)
+
+    return constrain
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -72,6 +98,36 @@ def sharded_render(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh,
     def fn(scene_, camera_, bvh_, key_):
         backend = make_backend(scene_, cfg, bvh=bvh_)
         img = render_image(scene_, camera_, cfg, backend=backend, key=key_)
+        return _constrain_rows(img, mesh)
+
+    rep = replicated(mesh)
+    scene_r = jax.device_put(scene, rep)
+    camera_r = jax.device_put(camera, rep)
+    bvh_r = jax.device_put(bvh, rep) if bvh is not None else None
+    with mesh:
+        return fn(scene_r, camera_r, bvh_r, key)
+
+
+def sample_sharded_render(scene: Scene, camera: Camera, cfg: RenderConfig,
+                          mesh: Mesh, key=None, bvh=None):
+    """Jitted render on a 2-D ('rays', 'samples') mesh: image rows sharded over
+    'rays', soft-shadow sample chunks over 'samples'.
+
+    Each device traces its row slice's primary/shadow structure but only its
+    slice of the stochastic sample axis; XLA inserts the visibility-count
+    reduction across 'samples' (psum over ICI).  Bitwise-identical to the
+    unsharded render because the per-(light, chunk) PRNG keys don't depend on
+    the mesh (SURVEY §7 hard-part 4).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    constrain = sample_constraint(mesh)
+
+    @jax.jit
+    def fn(scene_, camera_, bvh_, key_):
+        backend = make_backend(scene_, cfg, bvh=bvh_)
+        img = render_image(scene_, camera_, cfg, backend=backend, key=key_,
+                           sample_constrain=constrain)
         return _constrain_rows(img, mesh)
 
     rep = replicated(mesh)

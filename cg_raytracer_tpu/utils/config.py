@@ -39,10 +39,12 @@ class RenderConfig:
 
             platform = jax.default_backend()
         if platform == "tpu":
-            # Compiled Pallas kernels beat the XLA-fused paths on TPU; the
-            # VMEM-resident BVH kernel covers up to ~120K triangles, beyond which
-            # the jnp traversal takes over.
-            from ..ops.pallas_bvh import VMEM_MAX_TRIS
+            # Compiled Pallas kernels beat the XLA-fused paths on TPU: the
+            # VMEM-resident BVH kernel up to ~200K triangles, the HBM-streaming
+            # one to ~2.7M.  The jnp while-loop traversal is the fallback only
+            # beyond that (it has also produced device faults at 320K-tri /
+            # 640K-ray scale on v5e, so prefer the kernels wherever supported).
+            from ..ops.pallas_bvh import HBM_MAX_TRIS
 
-            return "pallas" if num_tris <= VMEM_MAX_TRIS else "bvh"
+            return "pallas" if num_tris <= HBM_MAX_TRIS else "bvh"
         return "brute" if num_tris <= self.brute_force_max_tris else "bvh"

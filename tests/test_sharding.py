@@ -43,6 +43,26 @@ def test_sharded_render_soft_shadows_deterministic(scenes):
     np.testing.assert_allclose(sharded, single, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_sample_axis_sharding_matches_single_device(scenes, shape):
+    # 2-D ('rays','samples') mesh: soft-shadow sample chunks split over the
+    # second axis; per-(light, chunk) keys are mesh-independent, so the result
+    # is identical to the unsharded render for any mesh shape.
+    from cg_raytracer_tpu.parallel.sharding import (make_mesh2,
+                                                    sample_sharded_render)
+
+    scene = scenes("cornell_box_spherical_light")
+    cfg = cgrt.RenderConfig(width=16, height=16, soft_shadow_samples=8,
+                            soft_shadow_chunk=4)
+    cam = cgrt.Camera.default()
+    single = np.asarray(cgrt.render(scene, cam, cfg))
+    mesh = make_mesh2(*shape)
+    assert mesh.devices.shape == shape
+    sharded = sample_sharded_render(scene, cam, cfg, mesh)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded), single, atol=1e-6)
+
+
 def test_train_step_on_mesh(scenes):
     scene = scenes("cube")
     cam = cgrt.Camera.default()
