@@ -49,6 +49,21 @@ def _load():
                 ctypes.c_int, ctypes.c_int,  # max_depth, max_leaf
                 f32p, f32p, i32p, i32p, i32p, i32p, i32p,  # node arrays + order
             ]
+            lib.cgrt_load_obj.restype = ctypes.c_void_p
+            lib.cgrt_load_obj.argtypes = [ctypes.c_char_p]
+            lib.cgrt_obj_num_meshes.restype = ctypes.c_int
+            lib.cgrt_obj_num_meshes.argtypes = [ctypes.c_void_p]
+            lib.cgrt_obj_mesh_sizes.restype = ctypes.c_int
+            lib.cgrt_obj_mesh_sizes.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.cgrt_obj_mesh_data.restype = ctypes.c_int
+            lib.cgrt_obj_mesh_data.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, f32p, f32p, i32p, f32p,
+            ]
+            lib.cgrt_obj_free.restype = None
+            lib.cgrt_obj_free.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -84,3 +99,45 @@ def native_build_bvh(tri_lo, tri_hi, centroids, max_depth: int, max_leaf: int):
     if n <= 0:
         raise RuntimeError(f"native BVH build failed (rc={n})")
     return (node_lo[:n], node_hi[:n], left[:n], right[:n], first[:n], count[:n], order)
+
+
+def native_load_obj(path: str):
+    """Native OBJ/MTL parse (native/obj_loader.cpp); returns the same list of
+    {vertices, normals, triangles, material} dicts as scene.loader's pure-Python
+    parser, or raises if the native library (or the file) is unavailable."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    handle = lib.cgrt_load_obj(os.fsencode(path))
+    if not handle:
+        raise RuntimeError(f"native OBJ load failed for {path}")
+    try:
+        meshes = []
+        for i in range(lib.cgrt_obj_num_meshes(handle)):
+            nv = ct.c_int32()
+            nt = ct.c_int32()
+            if lib.cgrt_obj_mesh_sizes(handle, i, ct.byref(nv), ct.byref(nt)) != 0:
+                raise RuntimeError("native OBJ mesh query failed")
+            vertices = np.zeros((nv.value, 3), np.float32)
+            normals = np.zeros((nv.value, 3), np.float32)
+            triangles = np.zeros((nt.value, 3), np.int32)
+            material = np.zeros((8,), np.float32)
+            if lib.cgrt_obj_mesh_data(handle, i, vertices, normals, triangles,
+                                      material) != 0:
+                raise RuntimeError("native OBJ mesh read failed")
+            meshes.append({
+                "vertices": vertices,
+                "normals": normals,
+                "triangles": triangles,
+                "material": {
+                    "kd": tuple(float(x) for x in material[0:3]),
+                    "ks": tuple(float(x) for x in material[3:6]),
+                    "shininess": float(material[6]),
+                    "transparency": float(material[7]),
+                },
+            })
+        return meshes
+    finally:
+        lib.cgrt_obj_free(handle)

@@ -96,14 +96,32 @@ class _MeshBuilder:
         }
 
 
-def load_obj(path: str, normalize: bool = False) -> List[dict]:
+def load_obj(path: str, normalize: bool = False,
+             use_native: Optional[bool] = None) -> List[dict]:
     """Load an OBJ file into a list of mesh dicts (one per material group).
 
     Mirrors ``loadMesh(path, normalize)`` (``/root/reference/src/mesh.cpp:58``).
     Returns list of {vertices, normals, triangles, material}.
+
+    ``use_native``: True forces the C++ parser (native/obj_loader.cpp), False
+    forces this pure-Python one, None (default) tries native first — matching
+    the reference's native (assimp) loader while keeping the Python parser as
+    the executable spec and fallback (tests assert array equality).
     """
     if not os.path.exists(path):
         raise FileNotFoundError(f"Mesh file {path} does not exist.")
+
+    if use_native is None or use_native:
+        from .. import native
+
+        try:
+            meshes = native.native_load_obj(path)
+            if normalize:
+                center_and_scale_to_unit(meshes)
+            return meshes
+        except Exception:
+            if use_native:
+                raise
 
     positions: List[tuple] = []
     file_normals: List[tuple] = []

@@ -51,6 +51,17 @@ def main():
                "reference_ms": ref_ms}
         if ref_ms:
             rec["speedup_vs_reference"] = round(ref_ms / ms, 2)
+
+        # Steady-state per-frame time: 8 frames scanned inside one dispatch,
+        # removing the fixed per-dispatch cost (~25 ms through the remote
+        # tunnel) a production render loop would amortize anyway.
+        from cg_raytracer_tpu.utils.bench import run_bench
+
+        steady = run_bench(scene=name, width=800, height=800,
+                           include_bwd=False, iters=3)
+        rec["ms_steady"] = round(steady["seconds_per_frame"] * 1e3, 2)
+        if ref_ms:
+            rec["speedup_steady"] = round(ref_ms / rec["ms_steady"], 2)
         print(json.dumps(rec), flush=True)
 
 

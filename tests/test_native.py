@@ -47,3 +47,31 @@ def test_native_rejects_bad_input():
             np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
             np.zeros((0, 3), np.float32), 20, 4,
         )
+
+
+@needs_native
+def test_native_obj_loader_matches_python():
+    # The C++ parser (native/obj_loader.cpp) must reproduce the Python loader
+    # array-for-array on every reference data file (positions/triangles exact;
+    # generated flat normals to f32 summation-order tolerance).
+    import glob
+    import os
+
+    from cg_raytracer_tpu.scene.loader import load_obj
+    from cg_raytracer_tpu.scene.presets import default_data_dir
+
+    paths = sorted(glob.glob(os.path.join(default_data_dir(), "*.obj")))
+    assert paths, "no data files found"
+    for path in paths:
+        py = load_obj(path, use_native=False)
+        nat = load_obj(path, use_native=True)
+        assert len(py) == len(nat), path
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a["triangles"], b["triangles"], err_msg=path)
+            np.testing.assert_array_equal(a["vertices"], b["vertices"], err_msg=path)
+            np.testing.assert_allclose(a["normals"], b["normals"], atol=1e-5,
+                                       err_msg=path)
+            for k in a["material"]:
+                np.testing.assert_allclose(np.ravel(a["material"][k]),
+                                           np.ravel(b["material"][k]),
+                                           err_msg=(path, k))
