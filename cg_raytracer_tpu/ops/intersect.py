@@ -304,9 +304,13 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
             # Gather-as-matmul: one_hot(ids) @ table runs on the MXU and its
             # transpose (the vertex/material grad scatter) is also a matmul —
             # both are an order of magnitude faster than TPU row gathers /
-            # scatter-adds at this batch size.
+            # scatter-adds at this batch size.  Precision MUST be HIGHEST: the
+            # TPU default feeds the MXU bf16 inputs, silently quantizing the
+            # geometry/material payload (measured: a 1e-3 kd perturbation
+            # produced a bit-identical image, so finite differences read 0).
             onehot = jax.nn.one_hot(tri_ids, num_tris, dtype=packed.dtype)
-            row = jnp.dot(onehot, packed, preferred_element_type=jnp.float32)
+            row = jnp.dot(onehot, packed, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         else:
             row = packed[tri_ids]  # [N, 28] — single per-ray row gather
         v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]

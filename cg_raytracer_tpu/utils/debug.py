@@ -89,6 +89,69 @@ def hit_statistics(scene: Scene, camera: Camera, cfg: RenderConfig,
     }
 
 
+def render_bvh_levels(scene: Scene, camera: Camera, level: int,
+                      width: int = 400, height: int = 400, bvh=None,
+                      base=None) -> np.ndarray:
+    """Visualize one BVH level as wireframe AABBs over a (dimmed) render —
+    the headless equivalent of the reference's debugDraw slider view
+    (bvh.cpp:469-525, main.cpp:805-807, leaf/inner color-coded).
+
+    Host-side numpy utility (debug tooling, not a jit path).  Returns
+    [H, W, 3] float32: inner nodes red, leaves green, over 0.5x ``base``
+    (a fresh small render when None).
+    """
+    import jax.numpy as jnp
+
+    from ..models.whitted import render as _render
+    from ..ops import camera as cam_ops
+    from ..ops.bvh import build_bvh
+    from ..utils.config import RenderConfig
+
+    if bvh is None:
+        bvh = build_bvh(scene)
+    lo, hi, is_leaf = bvh_level_boxes(bvh, level)
+    if base is None:
+        base = _render(scene, camera, RenderConfig(width=width, height=height))
+    img = 0.5 * np.asarray(base, np.float32).copy()
+
+    # Forward projection (inverse of generate_ray): world -> camera space via the
+    # conjugate quat, then ndc = (-x / (z*half_w), y / (z*half_h)).
+    q = np.asarray(cam_ops.quat_from_euler(camera.euler))
+    q_conj = np.asarray([q[0], -q[1], -q[2], -q[3]], np.float32)
+    cam_pos = np.asarray(cam_ops.camera_position(camera))
+    half_h = float(np.tan(float(camera.fovy) / 2.0))
+    half_w = float(camera.aspect) * half_h
+
+    def project(pts):  # [K,3] world -> (cols, rows, in_front) in pixel coords
+        rel = jnp.asarray(pts, jnp.float32) - cam_pos
+        pc = np.asarray(cam_ops.quat_rotate(jnp.asarray(q_conj), rel))
+        z = np.maximum(pc[:, 2], 1e-6)
+        ndc_x = -pc[:, 0] / (z * half_w)
+        ndc_y = pc[:, 1] / (z * half_h)
+        cols = (ndc_x + 1.0) / 2.0 * width
+        rows = height - 1 - (ndc_y + 1.0) / 2.0 * height
+        return cols, rows, pc[:, 2] > 1e-4
+
+    EDGES = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
+             (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+    for b_lo, b_hi, leaf in zip(lo, hi, is_leaf):
+        corners = np.array([[b_lo[0] if not (k & 1) else b_hi[0],
+                             b_lo[1] if not (k & 2) else b_hi[1],
+                             b_lo[2] if not (k & 4) else b_hi[2]]
+                            for k in range(8)], np.float32)
+        cols, rows, ok = project(corners)
+        color = np.array([0.1, 0.9, 0.2] if leaf else [0.9, 0.2, 0.1], np.float32)
+        for a, b in EDGES:
+            if not (ok[a] and ok[b]):
+                continue
+            steps = int(max(abs(cols[b] - cols[a]), abs(rows[b] - rows[a]), 1))
+            t = np.linspace(0.0, 1.0, min(steps + 1, 4 * max(width, height)))
+            cs = np.clip(cols[a] + t * (cols[b] - cols[a]), 0, width - 1).astype(int)
+            rs = np.clip(rows[a] + t * (rows[b] - rows[a]), 0, height - 1).astype(int)
+            img[rs, cs] = 0.35 * img[rs, cs] + 0.65 * color
+    return img
+
+
 def bvh_level_boxes(bvh, level: int):
     """AABBs (lo, hi, is_leaf) of all nodes at a given tree level — the data behind
     the reference's per-level debugDraw slider (bvh.cpp:469-525, main.cpp:805-807)."""

@@ -41,3 +41,22 @@ def test_bvh_level_boxes(scenes):
     assert lo2.shape[0] == 4  # complete binary levels until leaves appear
     # Child boxes at level 2 are inside the root box.
     assert (lo2 >= lo0[0] - 1e-5).all() and (hi2 <= hi0[0] + 1e-5).all()
+
+
+def test_render_bvh_levels(scenes):
+    # Headless equivalent of the reference's per-level debugDraw slider:
+    # wireframe AABBs over the dimmed render, inner red / leaf green.
+    from cg_raytracer_tpu.ops.bvh import build_bvh
+    from cg_raytracer_tpu.utils.debug import render_bvh_levels
+
+    scene = scenes("monkey")
+    bvh = build_bvh(scene)
+    cam = cgrt.Camera.default()
+    img = render_bvh_levels(scene, cam, level=2, width=64, height=64, bvh=bvh)
+    assert img.shape == (64, 64, 3)
+    red = (img[..., 0] > 0.5) & (img[..., 1] < 0.3)
+    assert red.sum() > 20  # inner-node wireframes present
+    # Monkey's default tree bottoms out at level 8 (all leaves there).
+    deep = render_bvh_levels(scene, cam, level=8, width=64, height=64, bvh=bvh)
+    green = (deep[..., 1] > 0.5) & (deep[..., 0] < 0.3)
+    assert green.sum() > 20  # leaves at the deep level
