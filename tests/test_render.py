@@ -164,6 +164,9 @@ GOLDEN = {
     "cornell_box": 0.053692,
     "monkey": 0.070905,
     "spheres": 0.362696,
+    # Table 2 custom-scene stand-ins (auto -> bvh backend at this size on CPU).
+    "teacup": 0.080919,
+    "donut": 0.070604,
 }
 
 
