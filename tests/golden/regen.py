@@ -10,7 +10,8 @@ import cg_raytracer_tpu as cgrt
 def main():
     cfg = cgrt.RenderConfig(width=32, height=32)
     cam = cgrt.Camera.default()
-    for name in ["single_triangle", "cube", "cornell_box", "monkey", "spheres"]:
+    for name in ["single_triangle", "cube", "cornell_box", "monkey", "spheres",
+                 "teacup", "donut"]:
         img = np.asarray(cgrt.render(cgrt.load_scene(name), cam, cfg))
         print(f'    "{name}": {float(img.mean()):.6f},')
 
