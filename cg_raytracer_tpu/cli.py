@@ -24,6 +24,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["auto", "brute", "bvh", "pallas"])
     p.add_argument("--spp", type=int, default=200,
                    help="soft-shadow samples per spherical-light shading")
+    p.add_argument("--soft-shadow-kernel", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="in-kernel Pallas soft-shadow sampler (TPU hardware "
+                        "PRNG; 'auto' = on for TPU Pallas-brute scenes)")
     p.add_argument("--aa", action="store_true", help="2x2 supersampling")
     p.add_argument("--bloom", action="store_true")
     p.add_argument("--motion-blur", action="store_true")
@@ -67,6 +71,7 @@ def _build(args):
         width=args.width, height=args.height, max_depth=args.max_bounces,
         anti_aliasing=args.aa, bloom=args.bloom, motion_blur=args.motion_blur,
         soft_shadow_samples=args.spp, backend=args.backend,
+        soft_shadow_kernel=args.soft_shadow_kernel,
         reference_quirks=args.reference_quirks,
     )
     key = jax.random.PRNGKey(args.seed)

@@ -44,6 +44,10 @@ class Backend(NamedTuple):
     closest: Callable  # (origins, dirs) -> Hit
     occluded: Callable  # (origins, dirs, t_max) -> bool [N]
     bounce: Optional[Callable] = None  # (origins, dirs) -> (Hit, shadow_bits)
+    # In-kernel spherical-light sampler: (light_pos [3], light_radius, positions
+    # [N,3], key) -> visible-sample counts [N] f32.  Replaces the chunked XLA
+    # soft-shadow scan when present (different, statistically equivalent stream).
+    soft_vis: Optional[Callable] = None
 
 
 def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> Backend:
@@ -66,15 +70,24 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         if scene.num_triangles <= cfg.pallas_brute_max_tris:
             from ..ops.pallas_kernels import (bounce_pallas, intersect_pallas,
                                               occluded_pallas,
-                                              supports_fused_bounce)
+                                              soft_shadow_counts_pallas,
+                                              supports_fused_bounce,
+                                              supports_soft_shadow_kernel)
 
             bounce = None
             if supports_fused_bounce(scene):
                 bounce = lambda o, d: bounce_pallas(scene, o, d)
+            soft_vis = None
+            if (cfg.resolve_soft_shadow_kernel()
+                    and supports_soft_shadow_kernel(scene)):
+                ns = cfg.soft_shadow_samples
+                soft_vis = lambda lpos, lrad, pos, k: soft_shadow_counts_pallas(
+                    scene, pos, lpos, lrad, k, ns)
             return Backend(
                 closest=lambda o, d: intersect_pallas(scene, o, d),
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
                 bounce=bounce,
+                soft_vis=soft_vis,
             )
         from ..ops.pallas_bvh import (HBMBVH, PackedBVH, bounce_pallas_bvh,
                                       bounce_pallas_bvh_hbm, build_hbm_bvh,
@@ -159,6 +172,9 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
             sample_chunk=cfg.soft_shadow_chunk,
             shadow_bits=shadow_bits,
             sample_constrain=sample_constrain,
+            # Sample-axis sharding owns the sample stream; the in-kernel
+            # sampler yields to it.
+            soft_vis_fn=None if sample_constrain is not None else backend.soft_vis,
         )
         lit = active & surf.valid
         color = color + throughput * direct * lit[..., None].astype(jnp.float32)

@@ -413,6 +413,213 @@ def _bounce_call(rays6, tmax_tiles, tri_table, lights, interpret=False):
     )(*rays6, tmax_tiles, tri_table, lights)
 
 
+# ---------------------------------------------------------------------------
+# In-kernel soft shadows: the 200-sample spherical-light visibility sweep
+# (main.cpp:166-218) executed entirely on the in-register ray tile.  The XLA
+# path materializes [chunk x N]-ray origin/dir/t buffers in HBM for every scan
+# step plus threefry PRNG glue; here sample directions are generated with the
+# TPU hardware PRNG (pltpu.prng_*, Box-Muller to Gaussians, normalized to the
+# sphere per randomUnitVector, main.cpp:46-59) and swept against the unrolled
+# triangle table without ever leaving VMEM.  NOTE: this is a *different sample
+# stream* than the jax.random path — statistically equivalent (same Gaussian
+# construction), not bitwise; gated behind RenderConfig.soft_shadow_kernel.
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586
+
+
+def _u01(bits):
+    """uint32 random bits -> uniform float32 in (0, 1) using the top-independent
+    low 24 bits (exactly representable; +2^-25 keeps log() finite)."""
+    return (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0) + (
+        0.5 / 16777216.0)
+
+
+def _gauss3_from_bits(b0, b1, b2, b3):
+    """Box-Muller: 4 uniform tiles -> 3 standard-Gaussian tiles (one discarded)."""
+    u1, u2, u3, u4 = _u01(b0), _u01(b1), _u01(b2), _u01(b3)
+    r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+    r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+    return (r1 * jnp.cos(_TWO_PI * u2),
+            r1 * jnp.sin(_TWO_PI * u2),
+            r2 * jnp.cos(_TWO_PI * u4))
+
+
+def _soft_visible_tile(px, py, pz, gx, gy, gz, lx, ly, lz, lr, tris_ref, num_tris):
+    """One soft-shadow sample: Gaussian (gx,gy,gz) -> unit vector -> point on the
+    light sphere -> shadow ray any-hit over the unrolled triangle table.
+    Returns int32 visibility tile (1 = sample point reached).  Op order mirrors
+    shading.direct_spherical_lights exactly so the table-variant kernel matches
+    the XLA path bit-for-bit in interpret mode."""
+    # safe_normalize(g): g / max(|g|, 1e-20)
+    gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    inv = 1.0 / jnp.maximum(gn, 1e-20)
+    sx = lx + lr * (gx * inv)
+    sy = ly + lr * (gy * inv)
+    sz = lz + lr * (gz * inv)
+    tx, ty, tz = sx - px, sy - py, sz - pz
+    dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    invd = 1.0 / jnp.maximum(dist, 1e-20)
+    sdx, sdy, sdz = tx * invd, ty * invd, tz * invd
+    sox = px + SHADOW_EPS * sdx
+    soy = py + SHADOW_EPS * sdy
+    soz = pz + SHADOW_EPS * sdz
+    # light_t = |sample_pt - shadow_origin| (main.cpp:181 measures from origin)
+    ex, ey, ez = sx - sox, sy - soy, sz - soz
+    tmax = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    for ti in range(num_tris):
+        tri = tris_ref[ti]
+        t, _, _, ok = _mt_tile(sox, soy, soz, sdx, sdy, sdz, tri)
+        blocked = jnp.maximum(blocked, (ok & (t < tmax)).astype(jnp.int32))
+    return 1 - blocked
+
+
+def _soft_shadow_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, tris_ref, light_ref,
+                             cnt_ref, *, num_tris, num_samples):
+    """PRNG variant (TPU only): sample directions from the hardware PRNG, seeded
+    per (render key, light, bounce) via ``seed_ref`` plus the grid program id so
+    every ray tile draws an independent stream.  Mosaic caps prng_seed at two
+    words, so the program id is mixed into the second one (Knuth multiplicative
+    hash, wrapping int32)."""
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
+    px, py, pz = px_ref[0], py_ref[0], pz_ref[0]
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+
+    def body(_, cnt):
+        b0 = pltpu.prng_random_bits((RAY_ROWS, RAY_COLS))
+        b1 = pltpu.prng_random_bits((RAY_ROWS, RAY_COLS))
+        b2 = pltpu.prng_random_bits((RAY_ROWS, RAY_COLS))
+        b3 = pltpu.prng_random_bits((RAY_ROWS, RAY_COLS))
+        gx, gy, gz = _gauss3_from_bits(b0, b1, b2, b3)
+        return cnt + _soft_visible_tile(px, py, pz, gx, gy, gz, lx, ly, lz, lr,
+                                        tris_ref, num_tris)
+
+    cnt = jax.lax.fori_loop(0, num_samples, body,
+                            jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32))
+    cnt_ref[0] = cnt
+
+
+def _soft_shadow_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, tris_ref,
+                              light_ref, cnt_ref, *, num_tris, num_samples):
+    """Table variant: Gaussian draws precomputed outside (jax.random) and passed
+    as a [1, S, 3, ROWS, COLS] VMEM block — used by CPU interpret-mode tests to
+    validate the geometry/occlusion logic against the XLA path with identical
+    samples (the hardware PRNG has no CPU interpretation)."""
+    px, py, pz = px_ref[0], py_ref[0], pz_ref[0]
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+    cnt = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    for si in range(num_samples):
+        gx = gauss_ref[0, si, 0]
+        gy = gauss_ref[0, si, 1]
+        gz = gauss_ref[0, si, 2]
+        cnt = cnt + _soft_visible_tile(px, py, pz, gx, gy, gz, lx, ly, lz, lr,
+                                       tris_ref, num_tris)
+    cnt_ref[0] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def _soft_prng_call(pos3, light_row, seeds, tri_table, num_samples, interpret=False):
+    g = pos3[0].shape[0]
+    kernel = functools.partial(_soft_shadow_prng_kernel,
+                               num_tris=tri_table.shape[0], num_samples=num_samples)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [_RAY_SPEC() for _ in range(3)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light row [1,4]
+        ],
+        out_specs=_RAY_SPEC(),
+        out_shape=jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        interpret=interpret,
+    )(seeds, *pos3, tri_table, light_row)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def _soft_table_call(pos3, light_row, gauss, tri_table, num_samples, interpret=True):
+    g = pos3[0].shape[0]
+    kernel = functools.partial(_soft_shadow_table_kernel,
+                               num_tris=tri_table.shape[0], num_samples=num_samples)
+    s = gauss.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, s, 3, RAY_ROWS, RAY_COLS),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [_RAY_SPEC() for _ in range(3)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=_RAY_SPEC(),
+        out_shape=jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        interpret=interpret,
+    )(gauss, *pos3, tri_table, light_row)
+
+
+def _key_seeds(key):
+    """PRNG key (typed or raw uint32[2]) -> int32[2] seed words for pltpu.prng_seed."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    return jax.lax.bitcast_convert_type(data.reshape(-1)[:2], jnp.int32)
+
+
+def supports_soft_shadow_kernel(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:
+    """The in-kernel sampler sweeps the fully-unrolled triangle table and has no
+    sphere-primitive tail, so it applies to small all-triangle scenes."""
+    return (
+        0 < scene.num_triangles <= max_tris
+        and scene.spheres.radius.shape[0] == 0
+        and scene.spherical_lights.position.shape[0] > 0
+    )
+
+
+def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, key,
+                              num_samples: int, interpret: bool | None = None,
+                              gauss=None):
+    """Visible-sample counts for one spherical light -> [N] float32 in
+    [0, num_samples].  ``gauss`` ([S, N, 3] precomputed Gaussians) selects the
+    table variant for CPU interpret-mode testing; otherwise the TPU hardware
+    PRNG generates samples in-register (PRNG variant, compiled only)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    positions = jax.lax.stop_gradient(positions)
+    n = positions.shape[0]
+    pad = (-n) % RAY_TILE
+    p = jnp.pad(positions, ((0, pad), (0, 0)))
+    g = (n + pad) // RAY_TILE
+    shape = (g, RAY_ROWS, RAY_COLS)
+    pos3 = tuple(p[:, i].reshape(shape) for i in range(3))
+    light_row = jnp.concatenate(
+        [jnp.asarray(light_pos, jnp.float32).reshape(3),
+         jnp.asarray(light_radius, jnp.float32).reshape(1)]
+    )[None, :]
+    light_row = jax.lax.stop_gradient(light_row)
+
+    if gauss is None:
+        if interpret:
+            raise NotImplementedError(
+                "soft-shadow PRNG kernel has no CPU interpretation; pass gauss= "
+                "for the table variant or run on TPU")
+        cnt = _soft_prng_call(pos3, light_row, _key_seeds(key), _tri_table(scene),
+                              num_samples, interpret=False)
+    else:
+        s = gauss.shape[0]
+        gp = jnp.pad(gauss, ((0, 0), (0, pad), (0, 0)))
+        gp = gp.reshape(s, g, RAY_ROWS, RAY_COLS, 3)
+        gp = jnp.transpose(gp, (1, 0, 4, 2, 3))  # [g, S, 3, ROWS, COLS]
+        cnt = _soft_table_call(pos3, light_row, gp, _tri_table(scene),
+                               num_samples, interpret=interpret)
+    return cnt.reshape(-1)[:n].astype(jnp.float32)
+
+
 def supports_fused_bounce(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:
     """Fused bounce applies to small fully-unrolled scenes with point lights and
     no sphere primitives (spheres would need merging inside the kernel)."""

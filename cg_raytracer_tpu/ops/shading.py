@@ -91,7 +91,7 @@ def _random_unit_vectors(key, shape):
 
 def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, key,
                             num_samples: int = 200, sample_chunk: int = 20,
-                            sample_constrain=None):
+                            sample_constrain=None, soft_vis_fn=None):
     """Soft-shadowed Phong from spherical lights.
 
     Parity with main.cpp:168-218: shading terms use the light *center*; visibility is
@@ -110,6 +110,29 @@ def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, 
     num_lights = scene.spherical_lights.position.shape[0]
     if num_lights == 0:
         return jnp.zeros_like(surf.position)
+
+    if soft_vis_fn is not None:
+        # Fused fast path: visible-sample counts from an in-kernel sampler
+        # (ops/pallas_kernels.py::soft_shadow_counts_pallas).  The count is a
+        # discrete visibility fraction — non-differentiable by the oracle
+        # contract, exactly like the occluded_fn bools it replaces; gradients
+        # flow through the Phong terms only.
+        contrib = jnp.zeros_like(surf.position)
+        for li in range(num_lights):
+            lpos = scene.spherical_lights.position[li]
+            lrad = scene.spherical_lights.radius[li]
+            lcol = scene.spherical_lights.color[li]
+            ldir_center = safe_normalize(lpos - surf.position)
+            diffuse, specular = phong_one_light(
+                view_dir, surf.normal, surf.kd, surf.ks, surf.shininess,
+                ldir_center, lcol,
+            )
+            count = soft_vis_fn(lpos, lrad, surf.position,
+                                jax.random.fold_in(key, li))
+            frac = count / jnp.float32(num_samples)
+            contrib = contrib + (diffuse + specular) * (
+                frac * surf.valid.astype(jnp.float32))[..., None]
+        return contrib
 
     n = surf.position.shape[0]
     sample_chunk = max(1, min(sample_chunk, num_samples))
@@ -153,13 +176,13 @@ def direct_spherical_lights(scene: Scene, view_dir, surf: Surface, occluded_fn, 
 
 def direct_light(scene: Scene, view_dir, surf: Surface, occluded_fn, key,
                  soft_shadow_samples: int = 200, sample_chunk: int = 20,
-                 shadow_bits=None, sample_constrain=None):
+                 shadow_bits=None, sample_constrain=None, soft_vis_fn=None):
     """Total direct lighting = point lights + spherical lights (shading(), main.cpp:160-235)."""
     color = direct_point_lights(scene, view_dir, surf, occluded_fn,
                                 shadow_bits=shadow_bits)
     color = color + direct_spherical_lights(
         scene, view_dir, surf, occluded_fn, key,
         num_samples=soft_shadow_samples, sample_chunk=sample_chunk,
-        sample_constrain=sample_constrain,
+        sample_constrain=sample_constrain, soft_vis_fn=soft_vis_fn,
     )
     return color

@@ -33,7 +33,8 @@ def time_fn(fn, *args, iters: int = 5, warmup: int = 2):
 def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
               backend: str = "auto", include_bwd: bool = True, iters: int = 5,
               max_depth: int = 2, data_dir: Optional[str] = None,
-              frames_per_call: int = 8) -> dict:
+              frames_per_call: int = 8,
+              cfg_overrides: Optional[dict] = None) -> dict:
     """Steady-state throughput: ``frames_per_call`` frames (distinct PRNG keys)
     are computed inside ONE jitted call via ``lax.scan`` and the wall time is
     divided by the frame count.  A single frame per call would mostly measure
@@ -51,6 +52,8 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
     scn = load_scene(scene, data_dir=data_dir)
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth,
                        backend=backend)
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     cfg = dataclasses.replace(cfg, max_depth=effective_max_depth(scn, cfg))
     camera = Camera.default(aspect=width / height)
     key = jax.random.PRNGKey(0)

@@ -21,6 +21,12 @@ class RenderConfig:
     soft_shadow_samples: int = 200  # shadow rays per spherical-light shading (main.cpp:176)
     soft_shadow_chunk: int = 20  # scan chunk for the sample axis (memory bound)
     backend: str = "auto"  # 'brute' | 'bvh' | 'pallas' | 'auto'
+    # Spherical-light soft shadows via the in-kernel Pallas sampler (TPU hardware
+    # PRNG, samples never leave VMEM).  'auto' = on when the resolved backend is
+    # the Pallas brute kernel on TPU.  NOTE: different (statistically equivalent)
+    # sample stream than the jax.random XLA path — renders with the kernel are
+    # deterministic but not bitwise-equal to kernel-off renders.
+    soft_shadow_kernel: str = "auto"  # 'auto' | 'on' | 'off'
     ray_chunk: int = 0  # >0: process rays in chunks of this size (host loop)
     tri_chunk: int = 2048  # triangle tile per brute-force scan step
     reference_quirks: bool = False  # reproduce documented reference bugs (SURVEY §0)
@@ -48,3 +54,16 @@ class RenderConfig:
 
             return "pallas" if num_tris <= HBM_MAX_TRIS else "bvh"
         return "brute" if num_tris <= self.brute_force_max_tris else "bvh"
+
+    def resolve_soft_shadow_kernel(self, platform: str | None = None) -> bool:
+        """Whether the in-kernel Pallas soft-shadow sampler should be used (the
+        scene must separately satisfy supports_soft_shadow_kernel)."""
+        if self.soft_shadow_kernel == "off":
+            return False
+        if self.soft_shadow_kernel == "on":
+            return True
+        if platform is None:
+            import jax
+
+            platform = jax.default_backend()
+        return platform == "tpu"

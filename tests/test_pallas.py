@@ -250,3 +250,116 @@ def test_fused_bounce_render_agreement(scenes):
     brute = np.asarray(cgrt.render(scene, cgrt.Camera.default(), cfg_b))
     pallas = np.asarray(cgrt.render(scene, cgrt.Camera.default(), cfg_p))
     assert_images_close(brute, pallas, msg="fused-bounce vs brute render")
+
+
+def test_soft_shadow_table_kernel_matches_xla(scenes):
+    """Table-variant soft-shadow kernel vs the XLA sample sweep with IDENTICAL
+    Gaussian draws: visibility counts must agree (exactly, modulo rare
+    coincident-t float knife edges)."""
+    import jax
+
+    from cg_raytracer_tpu.ops.intersect import reconstruct_hit
+    from cg_raytracer_tpu.ops.linalg import norm, safe_normalize
+    from cg_raytracer_tpu.ops.pallas_kernels import soft_shadow_counts_pallas
+    from cg_raytracer_tpu.ops.shading import SHADOW_EPS
+
+    scene = scenes("cornell_box_spherical_light")
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 24, 24)
+    surf = reconstruct_hit(scene, o, d, intersect_brute(scene, o, d))
+
+    num_samples = 16
+    key = jax.random.PRNGKey(7)
+    gauss = jax.random.normal(key, (num_samples, o.shape[0], 3), jnp.float32)
+
+    lpos = scene.spherical_lights.position[0]
+    lrad = scene.spherical_lights.radius[0]
+    units = safe_normalize(gauss)
+    sample_pts = lpos + lrad * units
+    to_sample = sample_pts - surf.position[None]
+    sdir = safe_normalize(to_sample)
+    sorigin = surf.position[None] + SHADOW_EPS * sdir
+    light_t = norm(sample_pts - sorigin)
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    blocked = occluded_brute(scene, flat(sorigin), flat(sdir), flat(light_t))
+    ref_counts = np.asarray(
+        (~blocked).reshape(num_samples, -1).sum(axis=0), np.float32)
+
+    counts = np.asarray(soft_shadow_counts_pallas(
+        scene, surf.position, lpos, lrad, key, num_samples,
+        interpret=True, gauss=gauss))
+
+    diff = np.abs(counts - ref_counts)
+    assert diff.max() <= 1.0, f"max count diff {diff.max()}"
+    assert (diff == 0).mean() > 0.99
+    # Sanity: the scene actually has a penumbra in this view.
+    valid = np.asarray(surf.valid)
+    assert counts[valid].min() < num_samples
+    assert counts[valid].max() > 0
+
+
+def test_soft_shadow_fully_visible_counts():
+    """Points with an unobstructed view of the whole light sphere count every
+    sample visible."""
+    import jax
+
+    from cg_raytracer_tpu.ops.pallas_kernels import soft_shadow_counts_pallas
+
+    scene = cgrt.load_scene("cornell_box_spherical_light")
+    lpos = scene.spherical_lights.position[0]
+    lrad = scene.spherical_lights.radius[0]
+    # Points just below the light, in the open interior between it and the
+    # in-box occluders (the point at y=0.1 sits inside one of them and would
+    # count zero).
+    positions = jnp.array([[0.0, 0.2, 0.0], [0.0, 0.3, 0.0]], jnp.float32)
+    num_samples = 8
+    key = jax.random.PRNGKey(3)
+    gauss = jax.random.normal(key, (num_samples, 2, 3), jnp.float32)
+    counts = np.asarray(soft_shadow_counts_pallas(
+        scene, positions, lpos, lrad, key, num_samples,
+        interpret=True, gauss=gauss))
+    np.testing.assert_array_equal(counts, num_samples)
+
+
+def test_direct_spherical_soft_vis_fn_branch(scenes):
+    """The soft_vis_fn fast path must reproduce the documented arithmetic:
+    (diffuse+specular) * count/num_samples, gated by surf.valid."""
+    import jax
+
+    from cg_raytracer_tpu.ops.intersect import reconstruct_hit
+    from cg_raytracer_tpu.ops.linalg import safe_normalize
+    from cg_raytracer_tpu.ops.shading import (direct_spherical_lights,
+                                              phong_one_light)
+
+    scene = scenes("cornell_box_spherical_light")
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 8, 8)
+    surf = reconstruct_hit(scene, o, d, intersect_brute(scene, o, d))
+    n = o.shape[0]
+    num_samples = 10
+    fixed_counts = jnp.arange(n, dtype=jnp.float32) % (num_samples + 1)
+
+    got = direct_spherical_lights(
+        scene, d, surf, occluded_fn=None, key=jax.random.PRNGKey(0),
+        num_samples=num_samples,
+        soft_vis_fn=lambda lpos, lrad, pos, k: fixed_counts)
+
+    lpos = scene.spherical_lights.position[0]
+    diffuse, specular = phong_one_light(
+        d, surf.normal, surf.kd, surf.ks, surf.shininess,
+        safe_normalize(lpos - surf.position), scene.spherical_lights.color[0])
+    frac = fixed_counts / num_samples
+    want = (diffuse + specular) * (frac * surf.valid.astype(jnp.float32))[..., None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_resolve_soft_shadow_kernel():
+    cfg = cgrt.RenderConfig()
+    assert cfg.resolve_soft_shadow_kernel(platform="tpu")
+    assert not cfg.resolve_soft_shadow_kernel(platform="cpu")
+    import dataclasses
+
+    on = dataclasses.replace(cfg, soft_shadow_kernel="on")
+    off = dataclasses.replace(cfg, soft_shadow_kernel="off")
+    assert on.resolve_soft_shadow_kernel(platform="cpu")
+    assert not off.resolve_soft_shadow_kernel(platform="tpu")
