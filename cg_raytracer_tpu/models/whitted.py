@@ -78,8 +78,20 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             if supports_fused_bounce(scene):
                 bounce = lambda o, d: bounce_pallas(scene, o, d)
             soft_vis = None
-            if (cfg.resolve_soft_shadow_kernel()
-                    and supports_soft_shadow_kernel(scene)):
+            use_soft_kernel = cfg.resolve_soft_shadow_kernel()
+            if use_soft_kernel and jax.default_backend() != "tpu":
+                # The PRNG sampler has no CPU interpretation; a forced 'on'
+                # off-TPU would otherwise surface as a NotImplementedError
+                # mid-trace (ADVICE r1).  Fall back to the XLA sample scan.
+                import warnings
+
+                warnings.warn(
+                    "soft_shadow_kernel='on' requires a TPU backend; falling "
+                    "back to the XLA soft-shadow scan",
+                    stacklevel=2,
+                )
+                use_soft_kernel = False
+            if use_soft_kernel and supports_soft_shadow_kernel(scene):
                 ns = cfg.soft_shadow_samples
                 soft_vis = lambda lpos, lrad, pos, k: soft_shadow_counts_pallas(
                     scene, pos, lpos, lrad, k, ns)

@@ -612,6 +612,14 @@ def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, 
                               num_samples, interpret=False)
     else:
         s = gauss.shape[0]
+        if s != num_samples:
+            # The table kernel loops si over num_samples; a shorter gauss axis
+            # would read out of the block (clamped in interpret mode) and
+            # silently return wrong counts (ADVICE r1).
+            raise ValueError(
+                f"gauss has {s} samples along axis 0 but num_samples="
+                f"{num_samples}; they must match"
+            )
         gp = jnp.pad(gauss, ((0, 0), (0, pad), (0, 0)))
         gp = gp.reshape(s, g, RAY_ROWS, RAY_COLS, 3)
         gp = jnp.transpose(gp, (1, 0, 4, 2, 3))  # [g, S, 3, ROWS, COLS]

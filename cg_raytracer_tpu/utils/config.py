@@ -58,6 +58,11 @@ class RenderConfig:
     def resolve_soft_shadow_kernel(self, platform: str | None = None) -> bool:
         """Whether the in-kernel Pallas soft-shadow sampler should be used (the
         scene must separately satisfy supports_soft_shadow_kernel)."""
+        if self.soft_shadow_kernel not in ("auto", "on", "off"):
+            raise ValueError(
+                f"soft_shadow_kernel must be 'auto' | 'on' | 'off', got "
+                f"{self.soft_shadow_kernel!r}"
+            )
         if self.soft_shadow_kernel == "off":
             return False
         if self.soft_shadow_kernel == "on":

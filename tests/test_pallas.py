@@ -363,3 +363,51 @@ def test_resolve_soft_shadow_kernel():
     off = dataclasses.replace(cfg, soft_shadow_kernel="off")
     assert on.resolve_soft_shadow_kernel(platform="cpu")
     assert not off.resolve_soft_shadow_kernel(platform="tpu")
+
+
+def test_resolve_soft_shadow_kernel_rejects_typos():
+    import dataclasses
+
+    import pytest
+
+    bad = dataclasses.replace(cgrt.RenderConfig(), soft_shadow_kernel="true")
+    with pytest.raises(ValueError, match="soft_shadow_kernel"):
+        bad.resolve_soft_shadow_kernel(platform="tpu")
+
+
+def test_soft_shadow_kernel_on_cpu_falls_back(scenes):
+    """A forced soft_shadow_kernel='on' off-TPU must warn and fall back to the
+    XLA scan instead of raising NotImplementedError mid-trace (ADVICE r1)."""
+    import dataclasses
+    import warnings
+
+    from cg_raytracer_tpu.models.whitted import make_backend
+
+    scene = scenes("cornell_box_spherical_light")
+    cfg = dataclasses.replace(
+        cgrt.RenderConfig(width=16, height=16, soft_shadow_samples=4,
+                          soft_shadow_chunk=2),
+        backend="pallas", soft_shadow_kernel="on")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        backend = make_backend(scene, cfg)
+    assert backend.soft_vis is None
+    assert any("soft_shadow_kernel" in str(w.message) for w in rec)
+    img = np.asarray(cgrt.render(scene, cgrt.Camera.default(), cfg))
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_soft_shadow_table_gauss_mismatch_raises(scenes):
+    import jax
+    import pytest
+
+    from cg_raytracer_tpu.ops.pallas_kernels import soft_shadow_counts_pallas
+
+    scene = scenes("cornell_box_spherical_light")
+    pos = jnp.zeros((4, 3), jnp.float32)
+    gauss = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 3), jnp.float32)
+    with pytest.raises(ValueError, match="num_samples"):
+        soft_shadow_counts_pallas(
+            scene, pos, scene.spherical_lights.position[0],
+            scene.spherical_lights.radius[0], jax.random.PRNGKey(0),
+            num_samples=5, interpret=True, gauss=gauss)
