@@ -39,31 +39,50 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--euler-deg", type=float, nargs=3, default=[20.0, 20.0, 0.0])
     p.add_argument("--dist", type=float, default=3.0)
     p.add_argument("--fovy-deg", type=float, default=50.0)
-    # Light overrides (the ImGui light editor, main.cpp:812-876).
+    # Light editor (the ImGui panel, main.cpp:812-876).  Lights are addressed
+    # by a unified index: point lights first, then spherical — the same order
+    # as the reference's "Selected light" combo.  Removes apply first (each
+    # re-indexing, like repeated button presses), then adds, then the
+    # --light-pos/--light-color/--light-radius edit of --light-index.
+    p.add_argument("--light-index", type=int, default=0,
+                   help="which light --light-pos/--light-color/--light-radius "
+                        "edit (point lights first, then spherical)")
     p.add_argument("--light-pos", type=float, nargs=3, default=None,
-                   help="override position of point light 0")
-    p.add_argument("--light-color", type=float, nargs=3, default=None)
+                   metavar=("X", "Y", "Z"),
+                   help="override position of the selected light")
+    p.add_argument("--light-color", type=float, nargs=3, default=None,
+                   metavar=("R", "G", "B"),
+                   help="override color of the selected light")
+    p.add_argument("--light-radius", type=float, default=None,
+                   help="override radius of the selected spherical light")
+    p.add_argument("--add-point-light", type=float, nargs=6, action="append",
+                   default=None, metavar=("X", "Y", "Z", "R", "G", "B"),
+                   help="append a point light (repeatable)")
+    p.add_argument("--add-spherical-light", type=float, nargs=7, action="append",
+                   default=None,
+                   metavar=("X", "Y", "Z", "RADIUS", "R", "G", "B"),
+                   help="append a spherical light (repeatable)")
+    p.add_argument("--remove-light", type=int, action="append", default=None,
+                   metavar="INDEX", help="remove the light at INDEX (repeatable)")
 
 
 def _build(args):
-    import dataclasses
-
     import jax
 
     from . import Camera, RenderConfig, load_scene
-    from .scene.types import PointLights
+    from .scene.lights import apply_edits
 
     scene = load_scene(args.scene, data_dir=args.data_dir)
-    if args.light_pos is not None or args.light_color is not None:
-        import jax.numpy as jnp
-
-        pos = scene.point_lights.position
-        col = scene.point_lights.color
-        if args.light_pos is not None and pos.shape[0] > 0:
-            pos = pos.at[0].set(jnp.asarray(args.light_pos, jnp.float32))
-        if args.light_color is not None and col.shape[0] > 0:
-            col = col.at[0].set(jnp.asarray(args.light_color, jnp.float32))
-        scene = dataclasses.replace(scene, point_lights=PointLights(pos, col))
+    scene = apply_edits(
+        scene,
+        removes=args.remove_light or (),
+        add_points=args.add_point_light or (),
+        add_sphericals=args.add_spherical_light or (),
+        index=args.light_index,
+        position=args.light_pos,
+        color=args.light_color,
+        radius=args.light_radius,
+    )
     camera = Camera.default(look_at=args.look_at, euler_deg=args.euler_deg,
                             dist=args.dist, fovy_deg=args.fovy_deg,
                             aspect=args.width / args.height)

@@ -71,10 +71,62 @@ def _box_blur_1d(img, radius: int, axis: int):
 
 
 def bloom(img, cfg: RenderConfig):
-    """Threshold + 21x21 box blur + add-back (bloomEffect, main.cpp:586-628)."""
+    """Threshold + 21x21 box blur + add-back (bloomEffect, main.cpp:586-628).
+
+    Default mode: clean separable box filter.  ``reference_quirks``: the
+    reference's in-place raster-scan accumulation (see ``_bloom_quirk``).
+    """
+    if cfg.reference_quirks:
+        return _bloom_quirk(img)
     bright = jnp.where(jnp.sum(img, axis=-1, keepdims=True) > 1.0, img, 0.0)
     blurred = _box_blur_1d(_box_blur_1d(bright, BLOOM_RADIUS, axis=0), BLOOM_RADIUS, axis=1)
     return img + blurred
+
+
+def _bloom_quirk(img):
+    """The reference's bloom, bug-for-bug (bloomEffect, main.cpp:586-628).
+
+    The reference blurs its thresholded buffer **in place** while scanning
+    pixels in row-major order: for each pixel it averages the current buffer
+    over the in-bounds 21x21 window (center's own — still raw — value included
+    via the loop's ``counter = 1`` start), writing the mean back into the
+    buffer.  Pixels above/left therefore contribute already-blurred values and
+    pixels below/right raw thresholded ones — a directional smear the clean
+    separable filter does not reproduce.  The final pixel adds a fresh
+    ``getFinalColor`` (main.cpp:623), which equals the base render for
+    deterministic scenes.
+
+    The in-place data dependence is inherently sequential, so this is a
+    row/column ``lax.scan`` over pixels — O(H*W) steps of a 21x21 window mean.
+    It exists for pixel parity, not speed; the AA-path threshold variant
+    (main.cpp:676-682) is not reproduced (quirk bloom matches the no-AA path,
+    and PARITY.md documents the gap).
+    """
+    h, w = img.shape[0], img.shape[1]
+    r = BLOOM_RADIUS
+    bright = jnp.where(jnp.sum(img, axis=-1, keepdims=True) > 1.0, img, 0.0)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    # In-bounds window size per pixel (center included): the reference's
+    # ``counter`` (1 + #in-bounds non-center neighbors, main.cpp:590-614).
+    cnt_y = jnp.minimum(ys + r, h - 1) - jnp.maximum(ys - r, 0) + 1
+    cnt_x = jnp.minimum(xs + r, w - 1) - jnp.maximum(xs - r, 0) + 1
+    counter = (cnt_y[:, None] * cnt_x[None, :]).astype(jnp.float32)
+    buf = jnp.pad(bright, ((r, r), (r, r), (0, 0)))
+
+    def one_row(buf, y):
+        def one_col(buf, x):
+            win = jax.lax.dynamic_slice(buf, (y, x, 0), (2 * r + 1, 2 * r + 1, 3))
+            mean = jnp.sum(win, axis=(0, 1)) / counter[y, x]
+            buf = jax.lax.dynamic_update_slice(buf, mean[None, None, :],
+                                               (y + r, x + r, 0))
+            return buf, None
+
+        buf, _ = jax.lax.scan(one_col, buf, xs)
+        return buf, None
+
+    buf, _ = jax.lax.scan(one_row, buf, ys)
+    return img + buf[r:r + h, r:r + w]
 
 
 def motion_blur(base_render_fn, camera: Camera, cfg: RenderConfig, key):
@@ -84,9 +136,16 @@ def motion_blur(base_render_fn, camera: Camera, cfg: RenderConfig, key):
     keep peak memory at one render at a time.
     """
     deltas = jnp.arange(1, MOTION_BLUR_STEPS + 1, dtype=jnp.float32) * MOTION_BLUR_DELTA
-    look_ats = jnp.stack([
-        jnp.stack([d, jnp.float32(0.0), jnp.float32(0.0)]) for d in deltas
-    ])  # [15, 3] — lookAt = (0.01*i, 0, 0), main.cpp:344-568
+    offsets = jnp.stack([deltas, jnp.zeros_like(deltas), jnp.zeros_like(deltas)],
+                        axis=-1)  # [15, 3] — +x jitter steps of 0.01
+    if cfg.reference_quirks:
+        # The reference sets lookAt to the ABSOLUTE points (0.01*i, 0, 0)
+        # regardless of the user's camera (main.cpp:344-568) — a non-default
+        # camera teleports to the origin.  Default mode jitters relative to
+        # the actual camera target instead.
+        look_ats = offsets
+    else:
+        look_ats = camera.look_at[None, :] + offsets
 
     def one(look_at):
         cam_i = Camera(look_at=look_at, euler=camera.euler, dist=camera.dist,

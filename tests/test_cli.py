@@ -62,6 +62,29 @@ def test_optimize_size_mismatch(tmp_path, capsys):
     assert rc == 2
 
 
+def test_light_editor_add_remove(tmp_path):
+    # Full editor session (main.cpp:812-876 capabilities): remove the preset's
+    # point lights, add a spherical one, and edit it by unified index.
+    out = str(tmp_path / "r.png")
+    rc = main(["render", "--scene", "cornell_box", "--width", "24", "--height",
+               "24", "--spp", "4",
+               "--remove-light", "0",
+               "--add-spherical-light", "0", "0.4", "0", "0.1", "4", "4", "4",
+               "--light-index", "0", "--light-radius", "0.2",
+               "-o", out])
+    assert rc == 0 and os.path.exists(out)
+    from cg_raytracer_tpu.utils.image import read_image
+
+    img = read_image(out)
+    assert img.max() > 0  # the new spherical light illuminates the box
+
+
+def test_light_editor_radius_on_point_light_errors():
+    with pytest.raises(ValueError, match="point light"):
+        main(["render", "--scene", "cube", "--width", "8", "--height", "8",
+              "--light-radius", "0.3"])
+
+
 def test_unknown_scene_errors():
     with pytest.raises(SystemExit):
         main(["render", "--scene"])  # missing value

@@ -71,6 +71,84 @@ def test_motion_blur_smears(scenes):
     assert blurred.max() <= plain.max() + 0.3
 
 
+def _bloom_quirk_numpy(img):
+    """Direct transcription of bloomEffect (main.cpp:586-628) in numpy: raster
+    scan, in-place window accumulation, counter normalization, add-back."""
+    h, w, _ = img.shape
+    b = np.where(img.sum(-1, keepdims=True) > 1.0, img, 0.0).astype(np.float64)
+    for y in range(h):
+        for x in range(w):
+            counter = 1
+            acc = b[y, x].copy()
+            for i in range(-10, 11):
+                if y + i < 0 or y + i > h - 1:
+                    continue
+                for j in range(-10, 11):
+                    if i == 0 and j == 0:
+                        continue
+                    if x + j < 0 or x + j > w - 1:
+                        continue
+                    acc += b[y + i, x + j]
+                    counter += 1
+            b[y, x] = acc / counter
+    return img + b.astype(np.float32)
+
+
+def test_bloom_quirk_matches_reference_transcription():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.0, 0.8, (24, 24, 3)).astype(np.float32)
+    img[5, 7] = [1.5, 1.2, 0.3]   # above threshold
+    img[18, 3] = [0.6, 0.6, 0.6]  # above threshold (sum 1.8)
+    want = _bloom_quirk_numpy(img)
+    from cg_raytracer_tpu.ops.effects import _bloom_quirk
+
+    got = np.asarray(_bloom_quirk(jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bloom_quirk_differs_from_clean_filter():
+    # The in-place accumulation smears energy toward later scan positions; on a
+    # bright-pixel image the quirk and clean outputs must differ.
+    img = jnp.zeros((32, 32, 3), jnp.float32).at[10, 10].set(
+        jnp.asarray([2.0, 2.0, 2.0]))
+    clean = np.asarray(bloom(img, CFG))
+    quirk = np.asarray(bloom(img, dataclasses.replace(CFG, reference_quirks=True)))
+    assert not np.allclose(clean, quirk, atol=1e-6)
+
+
+def test_bloom_quirk_through_render(scenes):
+    # End-to-end: quirks render with bloom stays finite and adds energy over
+    # the no-bloom quirks render wherever anything crossed the threshold.
+    scene = scenes("spheres")  # light color 15 -> saturated pixels
+    cfg = dataclasses.replace(CFG, width=24, height=24, reference_quirks=True)
+    base = _render(scene, cfg)
+    bloomed = _render(scene, dataclasses.replace(cfg, bloom=True))
+    assert np.isfinite(bloomed).all()
+    assert (bloomed - base).min() >= -1e-5
+    assert (bloomed - base).max() > 1e-4
+
+
+def test_motion_blur_relative_to_camera(scenes):
+    # Default mode jitters relative to the user's look_at; the render through a
+    # non-default camera must stay in the same neighborhood (NOT teleport to
+    # the absolute origin path, which is quirks-only, main.cpp:344-568).
+    scene = scenes("cube")
+    cfg = dataclasses.replace(CFG, width=24, height=24)
+    cam = cgrt.Camera.default(look_at=(0.3, 0.1, 0.0), dist=2.0)
+    plain = np.asarray(cgrt.render(scene, cam, cfg))
+    blurred = np.asarray(cgrt.render(scene, cam,
+                                     dataclasses.replace(cfg, motion_blur=True)))
+    quirk = np.asarray(cgrt.render(
+        scene, cam, dataclasses.replace(cfg, motion_blur=True,
+                                        reference_quirks=True)))
+    # Relative jitter keeps most of the image: strong correlation with plain.
+    overlap = np.minimum(blurred.sum(-1) > 1e-4, plain.sum(-1) > 1e-4).mean()
+    both = (plain.sum(-1) > 1e-4).mean()
+    assert overlap > 0.5 * both
+    # The absolute-origin quirk path sees a different framing entirely.
+    assert not np.allclose(blurred, quirk, atol=1e-4)
+
+
 def test_motion_blur_reference_quirk(scenes):
     # Quirk mode: 15 jittered renders / 16 (base omitted) -> strictly darker in
     # expectation than the default 16/16 average.
