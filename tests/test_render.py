@@ -156,24 +156,6 @@ def test_table2_custom_presets(scenes):
     assert img.max() > 0.0
 
 
-GOLDEN = {
-    # Lightweight regression pins: mean image brightness at 32x32, brute backend.
-    # Regenerate with tests/golden/regen.py if shading semantics intentionally change.
-    "single_triangle": 0.015336,
-    "cube": 0.037994,
-    "cornell_box": 0.053692,
-    "monkey": 0.070905,
-    "spheres": 0.362696,
-    # Table 2 custom-scene stand-ins (auto -> bvh backend at this size on CPU).
-    "teacup": 0.080919,
-    "donut": 0.070604,
-}
-
-
-@pytest.mark.parametrize("name", sorted(GOLDEN))
-def test_golden_brightness(scenes, name):
-    cfg = cgrt.RenderConfig(width=32, height=32)
-    img = _render(scenes(name), cfg)
-    assert np.isclose(float(img.mean()), GOLDEN[name], atol=2e-4), (
-        f"{name}: mean {img.mean():.6f} != {GOLDEN[name]}"
-    )
+# Golden regression moved to tests/test_golden_images.py: full [H,W,3]
+# per-pixel pins (default + reference_quirks + effects) replace the round-1
+# scalar mean-brightness checks.
