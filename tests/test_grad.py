@@ -80,18 +80,65 @@ def test_grad_light_position_matches_fd(tri_scene):
     _fd_check(loss_lp, scene.point_lights.position, g, picks=[0, 1, 2])
 
 
-def test_grad_vertices_matches_fd(tri_scene):
-    # dL/d(vertex position) through normal interpolation + shading (the continuous
-    # part; the discrete hit selection is stop-gradded by design).
-    scene = tri_scene
-    base = _loss_builder(scene)
+def big_triangle_scene(ks=(0.0, 0.0, 0.0), shininess=1.0):
+    """A large TILTED camera-facing triangle with varying vertex normals and a
+    nearby point light: big interior footprint AND a full-rank dependence of
+    the image on vertex positions.  (A flat constant-normal triangle is
+    degenerate for vertex-gradient checks: in-plane vertex moves don't change
+    the ray-plane hit points, so interior pixels carry exactly zero vertex
+    gradient.  The preset single_triangle is also a sliver at the default
+    camera.)"""
+    from cg_raytracer_tpu.scene.types import PointLights, make_scene
+
+    normals = np.asarray([[0, 0, -1], [0.3, 0, -1], [0, 0.3, -1]], np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    tri = {
+        "vertices": np.asarray([[-1, -1, 0], [3, -1, 0.6], [-1, 3, -0.4]],
+                               np.float32),
+        "normals": normals,
+        "triangles": np.asarray([[0, 2, 1]], np.int32),
+        "material": {"kd": (0.8, 0.6, 0.4), "ks": ks, "shininess": shininess},
+    }
+    light = ((2.0, 0.5, -2.0), (1.0, 1.0, 1.0))
+    cam = cgrt.Camera.default(euler_deg=(0, 0, 0), dist=3.0,
+                              look_at=(0.5, 0.5, 0.0))
+    return make_scene([tri], point_lights=PointLights.of(light)), cam
+
+
+def test_grad_vertices_matches_fd():
+    # dL/d(vertex position) through hit reconstruction + shading (the
+    # continuous part; the discrete hit selection is stop-gradded by design).
+    # FD-checked away from visibility discontinuities: the loss integrates an
+    # INTERIOR pixel window only, so a small vertex shift moves shading (hit
+    # position -> light direction/distance) smoothly without any silhouette
+    # crossing the window.
+    scene, camera = big_triangle_scene(ks=(0.3, 0.3, 0.3), shininess=8.0)
+    cfg = CFG
+    key = jax.random.PRNGKey(0)
+
+    # Locate a window strictly inside the triangle's footprint: a pixel whose
+    # whole 5x5 neighborhood hits.
+    img0 = np.asarray(render_image(scene, camera, cfg, key=key))
+    hit = img0.max(axis=-1) > 0
+    win = None
+    for cy in range(2, cfg.height - 2):
+        for cx in range(2, cfg.width - 2):
+            cand = (slice(cy - 2, cy + 3), slice(cx - 2, cx + 3))
+            if hit[cand].all():
+                win = cand
+    assert win is not None, "no interior 5x5 window; adjust test setup"
 
     def loss_v(verts):
-        return base(dataclasses.replace(scene, vertices=verts))
+        img = render_image(dataclasses.replace(scene, vertices=verts), camera,
+                           cfg, key=key)
+        return jnp.sum(img[win[0], win[1]])
 
     g = jax.grad(loss_v)(scene.vertices)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).max() > 0
+    # Check several vertex coordinates: z components (plane shifts) and an
+    # in-plane x (changes the tilted plane's orientation).
+    _fd_check(loss_v, scene.vertices, g, picks=[0, 2, 5, 8], eps=1e-3, rtol=0.1)
 
 
 def test_grad_shininess_and_ks(tri_scene):
