@@ -58,6 +58,21 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             occluded=lambda o, d, tm: occluded_brute(scene, o, d, tm, tri_chunk=cfg.tri_chunk),
         )
     if kind == "bvh":
+        # Known device fault: the jnp while-loop traversal kills the chip at
+        # 320K-tri x 640K-ray scale on v5e (BENCH_NOTES "device fault" entry;
+        # root cause unresolved).  Fail with an actionable error instead of
+        # faulting the hardware; CGRT_ALLOW_TPU_BVH=1 overrides for bisection.
+        import os
+
+        if (jax.default_backend() == "tpu"
+                and scene.num_triangles >= 200_000
+                and os.environ.get("CGRT_ALLOW_TPU_BVH") != "1"):
+            raise ValueError(
+                f"backend='bvh' (jnp while-loop traversal) device-faults on "
+                f"TPU at this scale ({scene.num_triangles} triangles); use "
+                f"backend='pallas' (the HBM-streaming kernel covers this "
+                f"scene) or set CGRT_ALLOW_TPU_BVH=1 to override"
+            )
         if bvh is None:
             bvh = build_bvh(scene)
         return Backend(
@@ -266,6 +281,51 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
     if cfg.bloom:
         img = effects.bloom(img, cfg)
     return img
+
+
+def render_rows(scene: Scene, camera: Camera, cfg: RenderConfig, rows: slice,
+                backend: Optional[Backend] = None, bvh: Optional[BVH] = None,
+                key=None, offset=(0.0, 0.0)):
+    """Render only image rows [rows.start, rows.stop) -> [k, W, 3].
+
+    The row-tile primitive behind multi-host output assembly (each host renders
+    and writes its ``host_local_rows`` slice without an all-gather) and failure
+    recovery (re-run one failed tile instead of the whole frame) — SURVEY §5
+    failure-detection row.  AA supersampling and motion blur are per-pixel and
+    compose row-locally; bloom gathers a 21x21 neighborhood and therefore needs
+    the full frame (raises).
+    """
+    if cfg.bloom:
+        raise ValueError("render_rows cannot apply bloom: it gathers a 21x21 "
+                         "pixel neighborhood across row-tile boundaries; "
+                         "apply ops.effects.bloom on the assembled frame")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if backend is None:
+        backend = make_backend(scene, cfg, bvh=bvh)
+    start, stop, step = rows.indices(cfg.height)
+    if step != 1:
+        raise ValueError("render_rows requires a contiguous row slice")
+    k = stop - start
+
+    from ..ops import effects
+
+    def rows_flat(camera_, key_, off):
+        ndc = cam_ops.pixel_ndc(cfg.height, cfg.width, offset=off)[start:stop]
+        origin, dirs = cam_ops.generate_ray(camera_, ndc.reshape(-1, 2))
+        origins = jnp.broadcast_to(origin, dirs.shape)
+        color = trace_rays(scene, origins, dirs, cfg, backend, key_)
+        return color.reshape(k, cfg.width, 3)
+
+    def base(camera_, key_):
+        if cfg.anti_aliasing:
+            return effects.supersample_render(
+                lambda off: rows_flat(camera_, key_, off), cfg)
+        return rows_flat(camera_, key_, offset)
+
+    if cfg.motion_blur:
+        return effects.motion_blur(base, camera, cfg, key)
+    return base(camera, key)
 
 
 def effective_max_depth(scene: Scene, cfg: RenderConfig) -> int:

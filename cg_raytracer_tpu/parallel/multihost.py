@@ -50,3 +50,49 @@ def host_local_rows(height: int) -> slice:
     i = jax.process_index()
     per = -(-height // n)
     return slice(i * per, min((i + 1) * per, height))
+
+
+def render_with_recovery(scene, camera, cfg, tile_rows: int = 64,
+                         max_retries: int = 2, key=None, bvh=None,
+                         render_tile=None, log_fn=None):
+    """Row-tile render loop with re-run-on-failure (SURVEY §5 failure row).
+
+    Renders the frame as ceil(H / tile_rows) independent row tiles via
+    ``models.whitted.render_rows``; a tile that raises is re-rendered up to
+    ``max_retries`` times before the error propagates.  This is the recovery
+    contract of a multi-host render: tiles are pure functions of (scene,
+    camera, rows), so a failed/preempted host's rows can be re-run anywhere.
+
+    ``render_tile(rows: slice) -> [k, W, 3]`` overrides the tile renderer
+    (used by tests to inject faults, or by a scheduler to route retries to a
+    different host).  Returns (image [H, W, 3] np.ndarray, failures) where
+    failures is a list of (rows, attempt, error_repr) for every failed attempt
+    that was subsequently recovered.
+    """
+    import numpy as _np
+
+    from ..models.whitted import make_backend, render_rows
+
+    if render_tile is None:
+        backend = make_backend(scene, cfg, bvh=bvh)
+
+        def render_tile(rows):
+            return render_rows(scene, camera, cfg, rows, backend=backend,
+                               key=key)
+
+    img = _np.zeros((cfg.height, cfg.width, 3), _np.float32)
+    failures = []
+    for start in range(0, cfg.height, tile_rows):
+        rows = slice(start, min(start + tile_rows, cfg.height))
+        for attempt in range(max_retries + 1):
+            try:
+                img[rows] = _np.asarray(render_tile(rows))
+                break
+            except Exception as e:  # noqa: BLE001 — any tile failure retries
+                failures.append((rows, attempt, repr(e)))
+                if log_fn:
+                    log_fn(f"tile rows {rows.start}:{rows.stop} failed "
+                           f"(attempt {attempt + 1}/{max_retries + 1}): {e!r}")
+                if attempt == max_retries:
+                    raise
+    return img, failures
