@@ -17,12 +17,15 @@ def main() -> int:
 
     result = run_bench(scene="cornell_box", width=1024, height=1024,
                        include_bwd=True, iters=3)
-    print(json.dumps({
+    line = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
-    }))
+    }
+    if "pct_of_roofline" in result:
+        line["pct_of_roofline"] = round(result["pct_of_roofline"], 2)
+    print(json.dumps(line))
     return 0
 
 

@@ -628,6 +628,240 @@ def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, 
     return cnt.reshape(-1)[:n].astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Forward-only trace megakernel: the ENTIRE Whitted forward render — every
+# bounce's closest-hit sweep, attribute fetch, Phong shading, shadow sweeps,
+# reflection bookkeeping — in ONE kernel.  Rays stream in, final RGB streams
+# out; nothing else touches HBM.  This is the fwd-only fast path (VERDICT r1
+# item 5): gradients keep the jnp reconstruct/shade path (the kernel consumes
+# stop-gradded inputs and is gated behind RenderConfig.forward_only).
+#
+# Parity: mirrors models/whitted.py::trace_rays + ops/shading.py::
+# direct_point_lights + ops/intersect.py::reconstruct_hit op-for-op
+# (interpolated camera-facing normal, eps offsets, ks comma-quirk flag) —
+# main.cpp:160-310.  Small all-triangle point-light scenes only (fully
+# unrolled sweeps, per-triangle attribute selects).
+# ---------------------------------------------------------------------------
+
+REFLECT_EPS = 1e-3  # models/whitted.py::REFLECT_EPS (main.cpp:252-256)
+
+
+def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  tris_ref, aux_ref, lights_ref, r_ref, g_ref, b_ref,
+                  *, num_tris, num_lights, max_depth, quirk_ks_z):
+    """aux_ref rows ([T, 19]): n0 n1 n2 (9), face_n (3), kd (3), ks (3),
+    shininess (1).  lights_ref rows ([L, 6]): position (3), color (3)."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    zeros = lambda: jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
+    cr, cg, cb = zeros(), zeros(), zeros()
+    tpr = jnp.ones((RAY_ROWS, RAY_COLS), jnp.float32)
+    tpg, tpb = tpr, tpr
+    active = jnp.ones((RAY_ROWS, RAY_COLS), jnp.int32)
+
+    for level in range(max_depth):
+        # --- closest-hit sweep (same as _closest_kernel_entry) ---
+        t_best = jnp.full((RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
+        slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
+        ub, vb = zeros(), zeros()
+        for ti in range(num_tris):
+            tri = tris_ref[ti]
+            t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+            closer = valid & (t < t_best)
+            t_best = jnp.where(closer, t, t_best)
+            slot = jnp.where(closer, ti, slot)
+            ub = jnp.where(closer, u, ub)
+            vb = jnp.where(closer, v, vb)
+        hit = slot >= 0
+        hit_i = hit.astype(jnp.int32)
+        t_hit = jnp.where(hit, t_best, 0.0)
+        px = ox + dx * t_hit
+        py = oy + dy * t_hit
+        pz = oz + dz * t_hit
+
+        # --- per-triangle attribute select (static row reads + masked selects;
+        # attrs stay zero on miss, matching Surface's zeroed fields) ---
+        a = [zeros() for _ in range(19)]
+        for ti in range(num_tris):
+            sel = slot == ti
+            arow = aux_ref[ti]
+            for j in range(19):
+                a[j] = jnp.where(sel, arow[j], a[j])
+        (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+         fnx, fny, fnz, kdx, kdy, kdz, ksx, ksy, ksz, shin) = a
+        shin = jnp.where(hit, shin, 1.0)  # Surface: shininess 1 on miss
+
+        # Interpolated camera-facing shading normal (reconstruct_hit parity).
+        w0 = 1.0 - ub - vb
+        nx = w0 * n0x + ub * n1x + vb * n2x
+        ny = w0 * n0y + ub * n1y + vb * n2y
+        nz = w0 * n0z + ub * n1z + vb * n2z
+        ninv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        facing = (fnx * dx + fny * dy + fnz * dz) < 0.0  # dot(face_n, -d) > 0
+        flip = jnp.where(facing, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        # Reflection of the view ray (shared by specular and the next bounce).
+        ddn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddn * nx
+        ry = dy - 2.0 * ddn * ny
+        rz = dz - 2.0 * ddn * nz
+        rinv = 1.0 / jnp.maximum(jnp.sqrt(rx * rx + ry * ry + rz * rz), 1e-20)
+        rx, ry, rz = rx * rinv, ry * rinv, rz * rinv
+
+        # --- per-light shadow sweep + Phong (direct_point_lights parity) ---
+        for li in range(num_lights):
+            lrow = lights_ref[li]
+            tox = lrow[0] - px
+            toy = lrow[1] - py
+            toz = lrow[2] - pz
+            dist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
+            linv = 1.0 / jnp.maximum(dist, 1e-20)
+            ldx, ldy, ldz = tox * linv, toy * linv, toz * linv
+            sox = px + SHADOW_EPS * ldx
+            soy = py + SHADOW_EPS * ldy
+            soz = pz + SHADOW_EPS * ldz
+            tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+            blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+            for ti in range(num_tris):
+                tri = tris_ref[ti]
+                t2, _, _, ok = _mt_tile(sox, soy, soz, ldx, ldy, ldz, tri)
+                blocked = jnp.maximum(blocked,
+                                      (ok & (t2 < tmax_l)).astype(jnp.int32))
+            dcos = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+            scos = rx * ldx + ry * ldy + rz * ldz
+            spec = jnp.power(jnp.maximum(scos, 1e-30), shin)
+            spec = jnp.where(scos > 0.0, spec, 0.0)
+            # weight = (~blocked & valid) [shading] * (active & valid) [trace]
+            w = ((1 - blocked) * hit_i * active).astype(jnp.float32)
+            cr = cr + tpr * lrow[3] * (kdx * dcos + ksx * spec) * w
+            cg = cg + tpg * lrow[4] * (kdy * dcos + ksy * spec) * w
+            cb = cb + tpb * lrow[5] * (kdz * dcos + ksz * spec) * w
+
+        if level + 1 < max_depth:
+            if quirk_ks_z:
+                refl_ok = ksz > 0.01  # comma-operator bug (main.cpp:246)
+            else:
+                refl_ok = (ksx > 0.01) | (ksy > 0.01) | (ksz > 0.01)
+            active = active * hit_i * refl_ok.astype(jnp.int32)
+            tpr, tpg, tpb = tpr * ksx, tpg * ksy, tpb * ksz
+            ox = px + REFLECT_EPS * rx
+            oy = py + REFLECT_EPS * ry
+            oz = pz + REFLECT_EPS * rz
+            af = active > 0
+            dx = jnp.where(af, rx, dx)
+            dy = jnp.where(af, ry, dy)
+            dz = jnp.where(af, rz, dz)
+
+    r_ref[0] = cr
+    g_ref[0] = cg
+    b_ref[0] = cb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "quirk_ks_z", "interpret"))
+def _trace_call(rays6, tri_table, aux, lights, max_depth, quirk_ks_z,
+                interpret=False):
+    g = rays6[0].shape[0]
+    kernel = functools.partial(
+        _trace_kernel, num_tris=tri_table.shape[0],
+        num_lights=lights.shape[0], max_depth=max_depth,
+        quirk_ks_z=quirk_ks_z)
+    out_shape = [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32)
+                 for _ in range(3)]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_RAY_SPEC() for _ in range(6)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table [T, 9]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attribute table [T, 19]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 6]
+        ],
+        out_specs=[_RAY_SPEC() for _ in range(3)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, tri_table, aux, lights)
+
+
+def _aux_table(scene: Scene):
+    """[T, 19] per-triangle shading attributes (see _trace_kernel)."""
+    tris = scene.triangles
+    v0 = scene.vertices[tris[:, 0]]
+    v1 = scene.vertices[tris[:, 1]]
+    v2 = scene.vertices[tris[:, 2]]
+    face = jnp.cross(v1 - v0, v2 - v0)
+    face = face / jnp.maximum(
+        jnp.linalg.norm(face, axis=-1, keepdims=True), 1e-20)
+    mat = scene.tri_material
+    return jnp.concatenate(
+        [scene.normals[tris[:, 0]], scene.normals[tris[:, 1]],
+         scene.normals[tris[:, 2]], face,
+         scene.materials.kd[mat], scene.materials.ks[mat],
+         scene.materials.shininess[mat][:, None]],
+        axis=1,
+    )
+
+
+MAX_TRACE_LIGHTS = 8  # unrolled per-light shadow sweeps; every preset has <= 2
+
+
+def supports_trace_kernel(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:
+    """The trace megakernel covers small all-triangle scenes lit by point
+    lights only (spherical-light soft shadows go through the sampler kernel;
+    spheres would need in-kernel quadric intersection + shading)."""
+    return (
+        0 < scene.num_triangles <= max_tris
+        and scene.spheres.radius.shape[0] == 0
+        and scene.spherical_lights.position.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_TRACE_LIGHTS
+    )
+
+
+@jax.custom_vjp
+def _forward_only_guard(colors):
+    return colors
+
+
+def _fog_fwd(colors):
+    return colors, None
+
+
+def _fog_bwd(_, g):
+    raise NotImplementedError(
+        "RenderConfig.forward_only=True routed this render through the "
+        "shade-in-kernel trace megakernel, which has no VJP; set "
+        "forward_only=False (the default) to differentiate renders"
+    )
+
+
+_forward_only_guard.defvjp(_fog_fwd, _fog_bwd)
+
+
+def trace_pallas(scene: Scene, origins, dirs, max_depth: int,
+                 quirk_ks_z: bool = False, interpret: bool | None = None):
+    """Full forward Whitted trace -> color [N, 3] in one kernel dispatch.
+
+    Differentiation attempts fail loudly (custom_vjp guard) rather than
+    silently returning zero grads through the stop-gradded kernel.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays6, n, g = _pack_rays(origins, dirs)
+    tri_table = jax.lax.stop_gradient(_tri_table(scene))
+    aux = jax.lax.stop_gradient(_aux_table(scene))
+    lights = jax.lax.stop_gradient(jnp.concatenate(
+        [scene.point_lights.position, scene.point_lights.color], axis=1))
+    r, g_, b = _trace_call(rays6, tri_table, aux, lights, max_depth,
+                           quirk_ks_z, interpret=interpret)
+    flat = lambda x: x.reshape(-1)[:n]
+    color = jnp.stack([flat(r), flat(g_), flat(b)], axis=-1)
+    return _forward_only_guard(color)
+
+
 def supports_fused_bounce(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:
     """Fused bounce applies to small fully-unrolled scenes with point lights and
     no sphere primitives (spheres would need merging inside the kernel)."""

@@ -108,7 +108,7 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
     best = best / frames_per_call
     rays = width * height
     rays_per_s = rays / best
-    return {
+    result = {
         "metric": f"primary rays/s/chip {mode} ({scene} {width}x{height}, "
                   f"{scn.num_triangles} tris)",
         "value": rays_per_s,
@@ -117,3 +117,21 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
         "seconds_per_frame": best,
         "device": str(jax.devices()[0]),
     }
+
+    # Roofline fraction (VERDICT r1 item 2): only the brute-sweep path has an
+    # exact closed-form work count; BVH scenes need measured traversal stats
+    # (scripts/roofline_table.py).
+    # (scenes with spheres route their sphere tail through jnp — the brute
+    # model would undercount; skip rather than report a wrong ceiling)
+    if (scn.num_triangles <= cfg.pallas_brute_max_tris
+            and scn.spheres.radius.shape[0] == 0):
+        from .roofline import headline_roofline, pct_of_roofline
+
+        info = headline_roofline(
+            width, height, scn.num_triangles,
+            scn.point_lights.position.shape[0], cfg.max_depth,
+            include_bwd=include_bwd)
+        result["pct_of_roofline"] = pct_of_roofline(
+            best, info["gflops_per_frame"] * 1e9, info["mbytes_per_frame"] * 1e6)
+        result["roofline"] = info
+    return result
