@@ -104,6 +104,11 @@ def cmd_render(args) -> int:
     from .utils.image import write_bmp, write_png
 
     scene, camera, cfg, key = _build(args)
+    # A CLI render never differentiates: allow the forward-only trace
+    # megakernel where the scene supports it.
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, forward_only=True)
     # Warm-up compile, then timed render (parity with the reference's chrono around
     # renderRayTracing, main.cpp:792-796 — compile time excluded like its BVH build).
     img = render(scene, camera, cfg, key=key)

@@ -44,6 +44,10 @@ class Backend(NamedTuple):
     closest: Callable  # (origins, dirs) -> Hit
     occluded: Callable  # (origins, dirs, t_max) -> bool [N]
     bounce: Optional[Callable] = None  # (origins, dirs) -> (Hit, shadow_bits)
+    # Forward-only full-trace megakernel: (origins, dirs) -> color [N,3].
+    # Present only under cfg.forward_only on supported scenes; replaces the
+    # whole trace_rays bounce loop with one kernel dispatch.
+    trace: Optional[Callable] = None
     # In-kernel spherical-light sampler: (light_pos [3], light_radius, positions
     # [N,3], key) -> visible-sample counts [N] f32.  Replaces the chunked XLA
     # soft-shadow scan when present (different, statistically equivalent stream).
@@ -87,11 +91,18 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                               occluded_pallas,
                                               soft_shadow_counts_pallas,
                                               supports_fused_bounce,
-                                              supports_soft_shadow_kernel)
+                                              supports_soft_shadow_kernel,
+                                              supports_trace_kernel,
+                                              trace_pallas)
 
             bounce = None
             if supports_fused_bounce(scene):
                 bounce = lambda o, d: bounce_pallas(scene, o, d)
+            trace = None
+            if cfg.forward_only and supports_trace_kernel(scene):
+                trace = lambda o, d: trace_pallas(
+                    scene, o, d, cfg.max_depth,
+                    quirk_ks_z=cfg.reference_quirks)
             soft_vis = None
             use_soft_kernel = cfg.resolve_soft_shadow_kernel()
             if use_soft_kernel and jax.default_backend() != "tpu":
@@ -115,6 +126,7 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
                 bounce=bounce,
                 soft_vis=soft_vis,
+                trace=trace,
             )
         from ..ops.pallas_bvh import (HBMBVH, PackedBVH, bounce_pallas_bvh,
                                       bounce_pallas_bvh_hbm, build_hbm_bvh,
@@ -179,6 +191,11 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     - reflected ray: reflect(dir, shading normal), origin offset by eps=0.001
       (main.cpp:252-256).
     """
+    if backend.trace is not None:
+        # Forward-only megakernel: the whole bounce loop in one dispatch
+        # (cfg.forward_only; differentiation raises via the custom_vjp guard).
+        return backend.trace(origins, dirs)
+
     n = origins.shape[0]
     color = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)

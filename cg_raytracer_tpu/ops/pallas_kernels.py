@@ -820,11 +820,15 @@ def supports_trace_kernel(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool
 
 
 @jax.custom_vjp
-def _forward_only_guard(colors):
+def _forward_only_guard(colors, deps):
+    # ``deps`` carries the *un-stop-gradded* scene pytree purely as a
+    # dependency edge: differentiating any scene leaf then has to trace this
+    # function's VJP, which raises — without it, the stop_gradients feeding
+    # the kernel would make jax.grad silently return zeros.
     return colors
 
 
-def _fog_fwd(colors):
+def _fog_fwd(colors, deps):
     return colors, None
 
 
@@ -848,6 +852,7 @@ def trace_pallas(scene: Scene, origins, dirs, max_depth: int,
     """
     if interpret is None:
         interpret = _default_interpret()
+    deps = (scene, origins, dirs)  # un-stop-gradded, for the VJP guard
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays6, n, g = _pack_rays(origins, dirs)
@@ -859,7 +864,7 @@ def trace_pallas(scene: Scene, origins, dirs, max_depth: int,
                            quirk_ks_z, interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
     color = jnp.stack([flat(r), flat(g_), flat(b)], axis=-1)
-    return _forward_only_guard(color)
+    return _forward_only_guard(color, deps)
 
 
 def supports_fused_bounce(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:

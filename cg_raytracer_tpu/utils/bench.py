@@ -52,6 +52,10 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
     scn = load_scene(scene, data_dir=data_dir)
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth,
                        backend=backend)
+    if not include_bwd:
+        # Forward-only measurement: let eligible scenes take the trace
+        # megakernel (overridable via cfg_overrides).
+        cfg = dataclasses.replace(cfg, forward_only=True)
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
     cfg = dataclasses.replace(cfg, max_depth=effective_max_depth(scn, cfg))

@@ -27,6 +27,12 @@ class RenderConfig:
     # sample stream than the jax.random XLA path — renders with the kernel are
     # deterministic but not bitwise-equal to kernel-off renders.
     soft_shadow_kernel: str = "auto"  # 'auto' | 'on' | 'off'
+    # Declares that no gradients will be taken through this render: small
+    # all-triangle point-light scenes then route the ENTIRE forward trace
+    # (every bounce + shading) through one Pallas megakernel
+    # (ops/pallas_kernels.py::trace_pallas).  Differentiating such a render
+    # raises (custom_vjp guard) instead of silently returning zero grads.
+    forward_only: bool = False
     ray_chunk: int = 0  # >0: process rays in chunks of this size (host loop)
     tri_chunk: int = 2048  # triangle tile per brute-force scan step
     reference_quirks: bool = False  # reproduce documented reference bugs (SURVEY §0)

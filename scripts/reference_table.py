@@ -37,7 +37,9 @@ def main():
         except FileNotFoundError:
             print(json.dumps({"scene": name, "skipped": "data file missing"}))
             continue
-        cfg = cgrt.RenderConfig(width=800, height=800)
+        # forward_only: table renders never differentiate -> eligible scenes
+        # take the shade-in-kernel trace megakernel, like the CLI does.
+        cfg = cgrt.RenderConfig(width=800, height=800, forward_only=True)
         img = cgrt.render(scene, cam, cfg)
         jax.block_until_ready(img)
         ts = []
