@@ -134,18 +134,25 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                       intersect_pallas_bvh_hbm,
                                       occluded_pallas_bvh,
                                       occluded_pallas_bvh_hbm,
+                                      soft_shadow_counts_pallas_bvh,
                                       supports_fused_bounce_bvh,
                                       supports_fused_bounce_bvh_hbm,
                                       supports_pallas_bvh,
-                                      supports_pallas_bvh_hbm)
+                                      supports_pallas_bvh_hbm,
+                                      supports_soft_shadow_kernel_bvh)
+
+        rows = cfg.resolve_bvh_tile_rows()
 
         def _hbm_backend(hbm):
             bounce = None
             if supports_fused_bounce_bvh_hbm(scene):
-                bounce = lambda o, d: bounce_pallas_bvh_hbm(scene, hbm, o, d)
+                bounce = lambda o, d: bounce_pallas_bvh_hbm(scene, hbm, o, d,
+                                                            tile_rows=rows)
             return Backend(
-                closest=lambda o, d: intersect_pallas_bvh_hbm(scene, hbm, o, d),
-                occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(scene, hbm, o, d, tm),
+                closest=lambda o, d: intersect_pallas_bvh_hbm(
+                    scene, hbm, o, d, tile_rows=rows),
+                occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(
+                    scene, hbm, o, d, tm, tile_rows=rows),
                 bounce=bounce,
             )
 
@@ -160,11 +167,32 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             packed = bvh
             bounce = None
             if supports_fused_bounce_bvh(scene):
-                bounce = lambda o, d: bounce_pallas_bvh(scene, packed, o, d)
+                bounce = lambda o, d: bounce_pallas_bvh(scene, packed, o, d,
+                                                        tile_rows=rows)
+            soft_vis = None
+            use_soft_kernel = cfg.resolve_soft_shadow_kernel()
+            if use_soft_kernel and jax.default_backend() != "tpu":
+                # PRNG sampler has no CPU interpretation (same fallback as the
+                # brute branch above).
+                import warnings
+
+                warnings.warn(
+                    "soft_shadow_kernel='on' requires a TPU backend; falling "
+                    "back to the XLA soft-shadow scan",
+                    stacklevel=2,
+                )
+                use_soft_kernel = False
+            if use_soft_kernel and supports_soft_shadow_kernel_bvh(scene):
+                ns = cfg.soft_shadow_samples
+                soft_vis = lambda lpos, lrad, pos, k: soft_shadow_counts_pallas_bvh(
+                    scene, packed, pos, lpos, lrad, k, ns, tile_rows=rows)
             return Backend(
-                closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d),
-                occluded=lambda o, d, tm: occluded_pallas_bvh(scene, packed, o, d, tm),
+                closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d,
+                                                          tile_rows=rows),
+                occluded=lambda o, d, tm: occluded_pallas_bvh(
+                    scene, packed, o, d, tm, tile_rows=rows),
                 bounce=bounce,
+                soft_vis=soft_vis,
             )
         if supports_pallas_bvh_hbm(scene):
             # Past the VMEM cap: nodes stay on-chip, triangles stream from HBM.
@@ -239,9 +267,55 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     return color
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _ray_order_perm(h: int, w: int, order: str, tile_rows: int):
+    """Pixel->ray permutation (and its inverse) grouping rays so each kernel
+    tile covers a coherent image region.  'blocked': (tile_rows x 128)-pixel
+    rectangles (one rectangle per ray tile — pure regrouping, no curve);
+    'morton': Z-order curve.  Returned as numpy constants (host-computed; the
+    gather itself costs two [N,3] shuffles, negligible next to traversal).
+    Per-ray render results are permutation-invariant — only tile grouping
+    (hence tile-synchronous divergence) changes.
+    """
+    import numpy as np
+
+    ys, xs = np.mgrid[0:h, 0:w]
+    if order == "blocked":
+        bh, bw = tile_rows, 128
+        nbw = -(-w // bw)
+        key = ((ys // bh) * nbw + (xs // bw)).astype(np.int64)
+        sub = ((ys % bh) * bw + (xs % bw)).astype(np.int64)
+        k = key * (bh * bw) + sub
+    elif order == "morton":
+        def spread(v):
+            v = v.astype(np.uint64)
+            v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+            v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+            v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+            v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+            return v
+
+        k = (spread(xs) | (spread(ys) << np.uint64(1))).reshape(h, w)
+    else:
+        raise ValueError(f"unknown ray order {order!r}")
+    perm = np.argsort(k.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv
+
+
 def _render_flat(scene: Scene, camera: Camera, cfg: RenderConfig, backend: Backend,
                  key, offset=(0.0, 0.0), sample_constrain=None):
     origins, dirs = cam_ops.generate_rays(camera, cfg.height, cfg.width, offset=offset)
+    order = cfg.resolve_ray_order(scene.num_triangles)
+    perm = inv = None
+    if order != "raster":
+        perm, inv = _ray_order_perm(cfg.height, cfg.width, order,
+                                    cfg.resolve_bvh_tile_rows())
+        origins, dirs = origins[perm], dirs[perm]
     if cfg.ray_chunk and cfg.ray_chunk < origins.shape[0]:
         num = origins.shape[0]
         chunk = cfg.ray_chunk
@@ -258,6 +332,8 @@ def _render_flat(scene: Scene, camera: Camera, cfg: RenderConfig, backend: Backe
     else:
         color = trace_rays(scene, origins, dirs, cfg, backend, key,
                            sample_constrain=sample_constrain)
+    if inv is not None:
+        color = color[inv]
     return color.reshape(cfg.height, cfg.width, 3)
 
 

@@ -48,7 +48,8 @@ from ..scene.types import Scene
 from .bvh import BVH, _SLAB_EPS, build_bvh
 from .intersect import MISS, Hit, intersect_spheres_one
 from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, RAY_TILE,
-                             SHADOW_EPS, _mt_tile, _pack_rays)
+                             SHADOW_EPS, _gauss3_from_bits, _key_seeds,
+                             _mt_tile, _pack_rays)
 
 MAX_STACK = 64
 TRIS_PER_ROW = 14  # 14 * 9 = 126 lanes used of 128
@@ -244,9 +245,9 @@ def _traverse_vmem(stack_ref, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     init = (
         jnp.int32(1),
         t0,
-        jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
-        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
-        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+        jnp.full(ox.shape, -1, jnp.int32),
+        jnp.zeros(ox.shape, jnp.float32),
+        jnp.zeros(ox.shape, jnp.float32),
         jnp.bool_(False),
     )
     _, t_best, slot, u, v, _ = jax.lax.while_loop(cond, body, init)
@@ -290,7 +291,7 @@ def _bvh_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     py = oy + dy * t_hit
     pz = oz + dz * t_hit
 
-    shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    shadow_bits = jnp.zeros(ox.shape, jnp.int32)
     for li in range(num_lights):
         lrow = lights_ref[li]
         tx = lrow[0] - px
@@ -320,15 +321,15 @@ def _bvh_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def _bvh_call(rays6, tmax_tiles, nodes, tri_rows, any_hit=False, interpret=False):
-    g = rays6[0].shape[0]
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh_kernel, any_hit=any_hit)
-    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
     ]
     return pl.pallas_call(
         kernel,
@@ -353,16 +354,16 @@ def supports_pallas_bvh(scene: Scene) -> bool:
 
 
 def _run(scene: Scene, packed: PackedBVH, origins, dirs, t_max, any_hit,
-         interpret):
+         interpret, tile_rows: int = RAY_ROWS):
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
-    rays, n, g = _pack_rays(origins, dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
     if t_max is None:
         tm = jnp.full((n,), jnp.inf, jnp.float32)
     else:
         tm = jnp.broadcast_to(jax.lax.stop_gradient(t_max), (n,)).astype(jnp.float32)
-    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
-    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     t, slot, u, v = _bvh_call(rays, tm_tiles, packed.nodes, packed.tri_rows,
                               any_hit=any_hit, interpret=interpret)
     flat = lambda a: a.reshape(-1)[:n]
@@ -392,23 +393,27 @@ def _sphere_merge(scene: Scene, origins, dirs, best: Hit) -> Hit:
 
 
 def intersect_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
-                         t_max=None, interpret: bool | None = None) -> Hit:
+                         t_max=None, interpret: bool | None = None,
+                         tile_rows: int = RAY_ROWS) -> Hit:
     """Closest-hit through the Pallas tile-synchronous BVH kernel (+ jnp spheres,
     like the reference's bvh.intersect sphere tail, bvh.cpp:878-879)."""
     if interpret is None:
         interpret = _default_interpret()
-    t, slot, u, v, n = _run(scene, packed, origins, dirs, t_max, False, interpret)
+    t, slot, u, v, n = _run(scene, packed, origins, dirs, t_max, False, interpret,
+                            tile_rows=tile_rows)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
     best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
     return _sphere_merge(scene, origins, dirs, best)
 
 
 def occluded_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs, t_max,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        tile_rows: int = RAY_ROWS):
     """Any-hit via the BVH kernel."""
     if interpret is None:
         interpret = _default_interpret()
-    t, slot, _, _, n = _run(scene, packed, origins, dirs, t_max, True, interpret)
+    t, slot, _, _, n = _run(scene, packed, origins, dirs, t_max, True, interpret,
+                            tile_rows=tile_rows)
     blocked = slot >= 0
 
     num_spheres = scene.spheres.radius.shape[0]
@@ -424,16 +429,16 @@ def occluded_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs, t_max,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bvh_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights, interpret=False):
-    g = rays6[0].shape[0]
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh_bounce_kernel, num_lights=lights.shape[0])
-    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
     ]
     return pl.pallas_call(
         kernel,
@@ -462,7 +467,8 @@ def supports_fused_bounce_bvh(scene: Scene) -> bool:
 
 
 def bounce_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      tile_rows: int = RAY_ROWS):
     """Fused closest-hit + per-point-light shadow query through the BVH.
 
     Returns (Hit, shadow_bits [N] int32), the same contract as the brute
@@ -473,12 +479,12 @@ def bounce_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
         interpret = _default_interpret()
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
-    rays, n, g = _pack_rays(origins, dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
     # Padding rays carry t_max < 0: the slab test rejects them everywhere, so
     # they add no traversal work and are exempt from the any-hit early exit.
     tm = jnp.full((n,), jnp.inf, jnp.float32)
-    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
-    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)
     t, slot, u, v, bits = _bvh_bounce_call(
         rays, tm_tiles, packed.nodes, packed.tri_rows, lights,
@@ -694,9 +700,9 @@ def _traverse_hbm(stack_ref, nodes_ref, tris_hbm_ref, tri_buf, dma_sem,
     init = (
         jnp.int32(1),
         t0,
-        jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
-        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
-        jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+        jnp.full(ox.shape, -1, jnp.int32),
+        jnp.zeros(ox.shape, jnp.float32),
+        jnp.zeros(ox.shape, jnp.float32),
         jnp.bool_(False),
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
@@ -742,7 +748,7 @@ def _bvh_hbm_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     py = oy + dy * t_hit
     pz = oz + dz * t_hit
 
-    shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    shadow_bits = jnp.zeros(ox.shape, jnp.int32)
     for li in range(num_lights):
         lrow = lights_ref[li]
         tx = lrow[0] - px
@@ -773,16 +779,16 @@ def _bvh_hbm_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    static_argnames=("any_hit", "leaf_rows", "interpret"))
 def _bvh_hbm_call(rays6, tmax_tiles, nodes, tri_rows, any_hit=False,
                   leaf_rows=4, interpret=False):
-    g = rays6[0].shape[0]
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh_hbm_kernel, any_hit=any_hit,
                                leaf_rows=leaf_rows)
-    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
     ]
     return pl.pallas_call(
         kernel,
@@ -813,16 +819,16 @@ def supports_pallas_bvh_hbm(scene: Scene) -> bool:
 
 
 def _run_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max, any_hit,
-             interpret):
+             interpret, tile_rows: int = RAY_ROWS):
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
-    rays, n, g = _pack_rays(origins, dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
     if t_max is None:
         tm = jnp.full((n,), jnp.inf, jnp.float32)
     else:
         tm = jnp.broadcast_to(jax.lax.stop_gradient(t_max), (n,)).astype(jnp.float32)
-    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
-    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     t, slot, u, v = _bvh_hbm_call(rays, tm_tiles, packed.nodes, packed.tri_rows,
                                   any_hit=any_hit, leaf_rows=packed.leaf_rows,
                                   interpret=interpret)
@@ -831,24 +837,26 @@ def _run_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max, any_hit,
 
 
 def intersect_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
-                             t_max=None, interpret: bool | None = None) -> Hit:
+                             t_max=None, interpret: bool | None = None,
+                             tile_rows: int = RAY_ROWS) -> Hit:
     """Closest-hit through the HBM-streaming BVH kernel (+ jnp spheres)."""
     if interpret is None:
         interpret = _default_interpret()
     t, slot, u, v, n = _run_hbm(scene, packed, origins, dirs, t_max, False,
-                                interpret)
+                                interpret, tile_rows=tile_rows)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
     best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
     return _sphere_merge(scene, origins, dirs, best)
 
 
 def occluded_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            tile_rows: int = RAY_ROWS):
     """Any-hit via the HBM-streaming BVH kernel."""
     if interpret is None:
         interpret = _default_interpret()
     t, slot, _, _, n = _run_hbm(scene, packed, origins, dirs, t_max, True,
-                                interpret)
+                                interpret, tile_rows=tile_rows)
     blocked = slot >= 0
 
     num_spheres = scene.spheres.radius.shape[0]
@@ -865,17 +873,17 @@ def occluded_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max,
 @functools.partial(jax.jit, static_argnames=("leaf_rows", "interpret"))
 def _bvh_hbm_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights,
                          leaf_rows=4, interpret=False):
-    g = rays6[0].shape[0]
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh_hbm_bounce_kernel,
                                num_lights=lights.shape[0], leaf_rows=leaf_rows)
-    ray_spec = lambda: pl.BlockSpec((1, RAY_ROWS, RAY_COLS), lambda i: (i, 0, 0),
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
-        jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
     ]
     return pl.pallas_call(
         kernel,
@@ -906,17 +914,18 @@ def supports_fused_bounce_bvh_hbm(scene: Scene) -> bool:
 
 
 def bounce_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          tile_rows: int = RAY_ROWS):
     """Fused closest-hit + per-point-light shadow query, HBM-streaming variant.
     Same (Hit, shadow_bits) contract as ``bounce_pallas_bvh``."""
     if interpret is None:
         interpret = _default_interpret()
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
-    rays, n, g = _pack_rays(origins, dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
     tm = jnp.full((n,), jnp.inf, jnp.float32)
-    tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
-    tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)
     t, slot, u, v, bits = _bvh_hbm_bounce_call(
         rays, tm_tiles, packed.nodes, packed.tri_rows, lights,
@@ -926,3 +935,197 @@ def bounce_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
     hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
     return hit, bits
+
+
+# ---------------------------------------------------------------------------
+# In-kernel soft shadows over the VMEM BVH (VERDICT r1 item 4): the 200-sample
+# spherical-light visibility sweep (main.cpp:166-218) with each sample's
+# shadow ray resolved by an any-hit *traversal* instead of the brute sampler's
+# unrolled triangle sweep (ops/pallas_kernels.py caps at 256 triangles).
+# Sample directions come from the TPU hardware PRNG exactly like the brute
+# variant; the table variant injects precomputed Gaussians for CPU
+# interpret-mode testing.  Same oracle contract: counts are discrete
+# visibility fractions, non-differentiable by design.
+# ---------------------------------------------------------------------------
+
+
+def _soft_sample_ray(px, py, pz, gx, gy, gz, lx, ly, lz, lr, vmask):
+    """Gaussian draw -> unit vector -> point on the light sphere -> shadow ray
+    (origin, dir, t_max); op order mirrors pallas_kernels._soft_visible_tile
+    / shading.direct_spherical_lights.  Padding rays (vmask == 0) get
+    t_max = -1: the root slab test rejects them, so they add no traversal
+    work and are exempt from the any-hit early exit."""
+    gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    inv = 1.0 / jnp.maximum(gn, 1e-20)
+    sx = lx + lr * (gx * inv)
+    sy = ly + lr * (gy * inv)
+    sz = lz + lr * (gz * inv)
+    tx, ty, tz = sx - px, sy - py, sz - pz
+    dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    invd = 1.0 / jnp.maximum(dist, 1e-20)
+    sdx, sdy, sdz = tx * invd, ty * invd, tz * invd
+    sox = px + SHADOW_EPS * sdx
+    soy = py + SHADOW_EPS * sdy
+    soz = pz + SHADOW_EPS * sdz
+    ex, ey, ez = sx - sox, sy - soy, sz - soz
+    tmax = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    tmax = jnp.where(vmask > 0, tmax, -1.0)
+    return sox, soy, soz, sdx, sdy, sdz, tmax
+
+
+def _soft_bvh_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
+                          nodes_ref, tris_ref, light_ref, cnt_ref, stack_ref,
+                          *, num_samples):
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
+    px, py, pz = px_ref[0], py_ref[0], pz_ref[0]
+    vmask = vmask_ref[0]
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+
+    def body(_, cnt):
+        b0 = pltpu.prng_random_bits(px.shape)
+        b1 = pltpu.prng_random_bits(px.shape)
+        b2 = pltpu.prng_random_bits(px.shape)
+        b3 = pltpu.prng_random_bits(px.shape)
+        gx, gy, gz = _gauss3_from_bits(b0, b1, b2, b3)
+        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+            px, py, pz, gx, gy, gz, lx, ly, lz, lr, vmask)
+        _, slot, _, _ = _traverse_vmem(
+            stack_ref, nodes_ref, tris_ref, sox, soy, soz, sdx, sdy, sdz,
+            tmax, any_hit=True)
+        return cnt + jnp.where((slot < 0) & (vmask > 0), 1, 0)
+
+    cnt = jax.lax.fori_loop(0, num_samples, body,
+                            jnp.zeros(px.shape, jnp.int32))
+    cnt_ref[0] = cnt
+
+
+def _soft_bvh_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
+                           nodes_ref, tris_ref, light_ref, cnt_ref, stack_ref,
+                           *, num_samples):
+    """Table variant (CPU interpret-mode tests): Gaussians precomputed with
+    jax.random so the geometry/occlusion logic can be pinned to the XLA path
+    with identical samples (the hardware PRNG has no CPU interpretation)."""
+    px, py, pz = px_ref[0], py_ref[0], pz_ref[0]
+    vmask = vmask_ref[0]
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+    cnt = jnp.zeros(px.shape, jnp.int32)
+    for si in range(num_samples):
+        gx = gauss_ref[0, si, 0]
+        gy = gauss_ref[0, si, 1]
+        gz = gauss_ref[0, si, 2]
+        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+            px, py, pz, gx, gy, gz, lx, ly, lz, lr, vmask)
+        _, slot, _, _ = _traverse_vmem(
+            stack_ref, nodes_ref, tris_ref, sox, soy, soz, sdx, sdy, sdz,
+            tmax, any_hit=True)
+        cnt = cnt + jnp.where((slot < 0) & (vmask > 0), 1, 0)
+    cnt_ref[0] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def _soft_bvh_prng_call(pos3, vmask_tiles, light_row, seeds, nodes, tri_rows,
+                        num_samples, interpret=False):
+    g, rows = pos3[0].shape[0], pos3[0].shape[1]
+    kernel = functools.partial(_soft_bvh_prng_kernel, num_samples=num_samples)
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [ray_spec() for _ in range(4)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light row [1, 4]
+        ],
+        out_specs=ray_spec(),
+        out_shape=jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        interpret=interpret,
+    )(seeds, *pos3, vmask_tiles, nodes, tri_rows, light_row)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def _soft_bvh_table_call(pos3, vmask_tiles, light_row, gauss, nodes, tri_rows,
+                         num_samples, interpret=True):
+    g, rows = pos3[0].shape[0], pos3[0].shape[1]
+    kernel = functools.partial(_soft_bvh_table_kernel, num_samples=num_samples)
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    s = gauss.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, s, 3, rows, RAY_COLS),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [ray_spec() for _ in range(4)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=ray_spec(),
+        out_shape=jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        interpret=interpret,
+    )(gauss, *pos3, vmask_tiles, nodes, tri_rows, light_row)
+
+
+def supports_soft_shadow_kernel_bvh(scene: Scene) -> bool:
+    """BVH-traversal sampler: any VMEM-resident all-triangle scene with
+    spherical lights (the brute sampler caps at 256 unrolled triangles)."""
+    return (
+        supports_pallas_bvh(scene)
+        and scene.spheres.radius.shape[0] == 0
+        and scene.spherical_lights.position.shape[0] > 0
+    )
+
+
+def soft_shadow_counts_pallas_bvh(scene: Scene, packed: PackedBVH, positions,
+                                  light_pos, light_radius, key,
+                                  num_samples: int,
+                                  interpret: bool | None = None, gauss=None,
+                                  tile_rows: int = RAY_ROWS):
+    """Visible-sample counts for one spherical light -> [N] float32 in
+    [0, num_samples], resolved by in-kernel any-hit BVH traversals.  Same
+    contract as pallas_kernels.soft_shadow_counts_pallas."""
+    if interpret is None:
+        interpret = _default_interpret()
+    positions = jax.lax.stop_gradient(positions)
+    n = positions.shape[0]
+    tile = tile_rows * RAY_COLS
+    pad = (-n) % tile
+    p = jnp.pad(positions, ((0, pad), (0, 0)))
+    g = (n + pad) // tile
+    shape = (g, tile_rows, RAY_COLS)
+    pos3 = tuple(p[:, i].reshape(shape) for i in range(3))
+    vmask = jnp.pad(jnp.ones((n,), jnp.int32), (0, pad)).reshape(shape)
+    light_row = jnp.concatenate(
+        [jnp.asarray(light_pos, jnp.float32).reshape(3),
+         jnp.asarray(light_radius, jnp.float32).reshape(1)]
+    )[None, :]
+    light_row = jax.lax.stop_gradient(light_row)
+
+    if gauss is None:
+        if interpret:
+            raise NotImplementedError(
+                "soft-shadow PRNG kernel has no CPU interpretation; pass "
+                "gauss= for the table variant or run on TPU")
+        cnt = _soft_bvh_prng_call(pos3, vmask, light_row, _key_seeds(key),
+                                  packed.nodes, packed.tri_rows, num_samples,
+                                  interpret=False)
+    else:
+        if gauss.shape[0] != num_samples:
+            raise ValueError(
+                f"gauss has {gauss.shape[0]} samples along axis 0 but "
+                f"num_samples={num_samples}; they must match")
+        gp = jnp.pad(gauss, ((0, 0), (0, pad), (0, 0)))
+        gp = gp.reshape(num_samples, g, tile_rows, RAY_COLS, 3)
+        gp = jnp.transpose(gp, (1, 0, 4, 2, 3))  # [g, S, 3, rows, cols]
+        cnt = _soft_bvh_table_call(pos3, vmask, light_row, gp, packed.nodes,
+                                   packed.tri_rows, num_samples,
+                                   interpret=interpret)
+    return cnt.reshape(-1)[:n].astype(jnp.float32)

@@ -229,18 +229,23 @@ def _bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = shadow_bits
 
 
-def _pack_rays(origins, dirs):
-    """[N,3]+[N,3] -> tuple of six [G, R, 128] component arrays + (n, g).
+def _pack_rays(origins, dirs, rows: int = RAY_ROWS):
+    """[N,3]+[N,3] -> tuple of six [G, rows, 128] component arrays + (n, g).
 
     Strided component slices + reshape only — no interleaving transpose (which
     costs more HBM traffic than the intersection kernels themselves).
+    ``rows`` sets the ray-tile height (tile = rows x 128 rays): the brute
+    kernels always use RAY_ROWS; the BVH kernels take it from
+    RenderConfig.bvh_tile_rows — smaller tiles diverge less (a node is
+    visited iff *any* ray in the tile wants it).
     """
     n = origins.shape[0]
-    pad = (-n) % RAY_TILE
+    tile = rows * RAY_COLS
+    pad = (-n) % tile
     o = jnp.pad(origins, ((0, pad), (0, 0)))
     d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
-    g = (n + pad) // RAY_TILE
-    shape = (g, RAY_ROWS, RAY_COLS)
+    g = (n + pad) // tile
+    shape = (g, rows, RAY_COLS)
     comps = tuple(a[:, i].reshape(shape) for a in (o, d) for i in range(3))
     return comps, n, g
 

@@ -24,6 +24,9 @@ SCENE_NAMES = (
     "cornell_box",
     "cornell_box_spherical_light",
     "monkey",
+    # Soft shadows over BVH-scale geometry (bench row for the BVH-traversal
+    # in-kernel sampler; not a reference preset).
+    "monkey_spherical_light",
     "dragon",
     "spheres",
     "custom",
@@ -153,6 +156,14 @@ def load_scene(name: str, data_dir: str | None = None) -> Scene:
     if name == "monkey":
         meshes = load_obj(os.path.join(data_dir, "monkey-rotated.obj"), normalize=True)
         return make_scene(meshes, point_lights=PointLights.of(((-1, 1, -1), white), ((1, -1, -1), white)))
+    if name == "monkey_spherical_light":
+        # Soft-shadow benchmark row for BVH-scale geometry (968 tris exceeds
+        # the unrolled brute sampler): same mesh as 'monkey' lit by one
+        # spherical light with the reference's light parameters
+        # (cornell_box_spherical_light radius/intensity, main.cpp:166-218).
+        meshes = load_obj(os.path.join(data_dir, "monkey-rotated.obj"), normalize=True)
+        return make_scene(meshes, spherical_lights=SphericalLights.of(
+            ((-1, 1, -1), 0.1, white)))
     if name == "dragon":
         path = os.path.join(data_dir, "dragon.obj")
         if os.path.exists(path):

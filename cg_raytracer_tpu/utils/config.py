@@ -42,6 +42,39 @@ class RenderConfig:
     # traversal kernel above.  Measured crossover on v5e is a few hundred tris
     # (monkey @968: brute 166 ms vs BVH 54 ms per 640K-ray frame).
     pallas_brute_max_tris: int = 256
+    # Ray-tile height (x 128 lanes) for the tile-synchronous BVH kernels.
+    # A node is visited iff *any* ray in the tile wants it, so smaller tiles
+    # diverge less on mesh scenes at the cost of more grid programs.
+    # 0 = auto (measured best, scripts/tpu_tile_ab.py).
+    bvh_tile_rows: int = 0
+    # Ray ordering before tile packing: 'raster' | 'blocked' | 'morton' |
+    # 'auto'.  'blocked' regroups rays so one kernel tile covers a compact
+    # (tile_rows x 128)-pixel rectangle instead of a thin full-width strip;
+    # 'morton' uses a Z-order curve.  Pure permutation — per-ray results are
+    # identical; only tile grouping (and thus divergence) changes.
+    ray_order: str = "auto"
+
+    def resolve_bvh_tile_rows(self) -> int:
+        if self.bvh_tile_rows:
+            if self.bvh_tile_rows % 8 or not (8 <= self.bvh_tile_rows <= 256):
+                raise ValueError(
+                    f"bvh_tile_rows must be a multiple of 8 in [8, 256], got "
+                    f"{self.bvh_tile_rows}")
+            return self.bvh_tile_rows
+        return 64  # pending the tile-size A/B (scripts/tpu_tile_ab.py)
+
+    def resolve_ray_order(self, num_tris: int, platform: str | None = None) -> str:
+        if self.ray_order != "auto":
+            if self.ray_order not in ("raster", "blocked", "morton"):
+                raise ValueError(
+                    f"ray_order must be 'raster' | 'blocked' | 'morton' | "
+                    f"'auto', got {self.ray_order!r}")
+            return self.ray_order
+        # Coherent grouping only matters for the tile-synchronous BVH kernels.
+        if (self.resolve_backend(num_tris, platform) == "pallas"
+                and num_tris > self.pallas_brute_max_tris):
+            return "blocked"
+        return "raster"
 
     def resolve_backend(self, num_tris: int, platform: str | None = None) -> str:
         if self.backend != "auto":
