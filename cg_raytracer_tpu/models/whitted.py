@@ -163,7 +163,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         if supports_pallas_bvh(scene):
             if not isinstance(bvh, PackedBVH):
                 # Host-side packing — must happen outside jit (build_accel does this).
-                _, bvh = build_packed_bvh(scene)
+                _, bvh = build_packed_bvh(
+                    scene, max_leaf=cfg.resolve_pallas_bvh_max_leaf())
             packed = bvh
             bounce = None
             if supports_fused_bounce_bvh(scene):
@@ -464,8 +465,9 @@ def build_accel(scene: Scene, cfg: RenderConfig):
                                       supports_pallas_bvh)
 
         if supports_pallas_bvh(scene):
-            return _cached_accel(scene, ("pallas-vmem",),
-                                 lambda: build_packed_bvh(scene)[1])
+            leaf = cfg.resolve_pallas_bvh_max_leaf()
+            return _cached_accel(scene, ("pallas-vmem", leaf),
+                                 lambda: build_packed_bvh(scene, max_leaf=leaf)[1])
         return _cached_accel(scene, ("pallas-hbm",),
                              lambda: build_hbm_bvh(scene)[1])
     return None

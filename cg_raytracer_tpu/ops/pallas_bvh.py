@@ -225,11 +225,15 @@ def _traverse_vmem(stack_ref, nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         tpad2 = _SLAB_EPS * (1.0 + jnp.abs(t_best))
         hl = hl & (tl <= t_best + tpad2)
         hr = hr & (tr <= t_best + tpad2)
-        any_l = do_int & jnp.any(hl)
-        any_r = do_int & jnp.any(hr)
+        # One min-reduce per child answers both "any ray hits" (min < big)
+        # and the near/far ordering — 2 cross-lane reductions instead of 4
+        # (hit => finite tin: |d| = 1 gives every reachable box a finite
+        # entry t, so min == big iff no lane hit).
         big = jnp.float32(3.4e38)
         min_tl = jnp.min(jnp.where(hl, tl, big))
         min_tr = jnp.min(jnp.where(hr, tr, big))
+        any_l = do_int & (min_tl < big)
+        any_r = do_int & (min_tr < big)
         left_near = min_tl <= min_tr
         near_i = jnp.where(left_near, li, ri)
         far_i = jnp.where(left_near, ri, li)
@@ -677,11 +681,12 @@ def _traverse_hbm(stack_ref, nodes_ref, tris_hbm_ref, tri_buf, dma_sem,
             tpad2 = _SLAB_EPS * (1.0 + jnp.abs(t_best))
             hl = hl & (tl <= t_best + tpad2)
             hr = hr & (tr <= t_best + tpad2)
-            any_l = do_int & jnp.any(hl)
-            any_r = do_int & jnp.any(hr)
+            # Same min-trick as _traverse_vmem: 2 reductions, not 4.
             big = jnp.float32(3.4e38)
             min_tl = jnp.min(jnp.where(hl, tl, big))
             min_tr = jnp.min(jnp.where(hr, tr, big))
+            any_l = do_int & (min_tl < big)
+            any_r = do_int & (min_tr < big)
             left_near = min_tl <= min_tr
             near_i = jnp.where(left_near, li, ri)
             far_i = jnp.where(left_near, ri, li)

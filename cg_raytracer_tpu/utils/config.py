@@ -54,6 +54,19 @@ class RenderConfig:
     # identical; only tile grouping (and thus divergence) changes.
     ray_order: str = "auto"
 
+    # Max triangles per BVH leaf for the VMEM Pallas kernel, in units the
+    # packed layout rounds to whole 14-triangle rows.  Wider leaves halve the
+    # tile-synchronous pop count (the scalar-overhead-dominated part) for a
+    # small increase in dense MT vector work.  0 = auto.
+    pallas_bvh_max_leaf: int = 0
+
+    def resolve_pallas_bvh_max_leaf(self) -> int:
+        if self.pallas_bvh_max_leaf:
+            if self.pallas_bvh_max_leaf < 1:
+                raise ValueError("pallas_bvh_max_leaf must be positive")
+            return self.pallas_bvh_max_leaf
+        return 14  # pending the leaf-width A/B (scripts/tpu_tile_ab.py)
+
     def resolve_bvh_tile_rows(self) -> int:
         if self.bvh_tile_rows:
             if self.bvh_tile_rows % 8 or not (8 <= self.bvh_tile_rows <= 256):
@@ -61,7 +74,11 @@ class RenderConfig:
                     f"bvh_tile_rows must be a multiple of 8 in [8, 256], got "
                     f"{self.bvh_tile_rows}")
             return self.bvh_tile_rows
-        return 64  # pending the tile-size A/B (scripts/tpu_tile_ab.py)
+        # Measured on v5e (scripts/tpu_tile_ab.py): 64 rows beat 8/16/128/256
+        # on teacup and dragon — smaller tiles cut divergence (tile_sim.py:
+        # 5x less vector work at 8 rows) but per-pop scalar/reduction overhead
+        # dominates below 64.
+        return 64
 
     def resolve_ray_order(self, num_tris: int, platform: str | None = None) -> str:
         if self.ray_order != "auto":
@@ -71,9 +88,11 @@ class RenderConfig:
                     f"'auto', got {self.ray_order!r}")
             return self.ray_order
         # Coherent grouping only matters for the tile-synchronous BVH kernels.
+        # Morton measured best on v5e (scripts/tpu_tile_ab.py: teacup
+        # 170->119 ms, dragon 81->56 ms vs raster; beats blocked rectangles).
         if (self.resolve_backend(num_tris, platform) == "pallas"
                 and num_tris > self.pallas_brute_max_tris):
-            return "blocked"
+            return "morton"
         return "raster"
 
     def resolve_backend(self, num_tris: int, platform: str | None = None) -> str:

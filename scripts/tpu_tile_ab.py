@@ -26,27 +26,30 @@ def main():
     from cg_raytracer_tpu.utils.bench import run_bench
 
     scenes = sys.argv[1].split(",") if len(sys.argv) > 1 else ["teacup", "dragon"]
+    # Sweeps 1-2 (recorded in ab_results.jsonl / BENCH_NOTES): 64-row tiles
+    # beat 8/16/128/256; morton beats blocked beats raster.  Sweep 3: leaf
+    # width at the 64/morton winner, after the per-pop reduction cut.
     variants = [
-        (64, "raster"),   # round-1 behavior (baseline)
-        (64, "blocked"),  # ordering effect alone
-        (8, "blocked"),   # smallest tile + coherent blocks
-        (16, "blocked"),  # middle point
-        (8, "raster"),    # tile effect alone
+        (64, "morton", 14),
+        (64, "morton", 28),
+        (64, "morton", 56),
     ]
     out = open("ab_results.jsonl", "a")
     for scene in scenes:
-        for rows, order in variants:
+        for rows, order, leaf in variants:
             try:
                 r = run_bench(scene=scene, width=800, height=800,
                               include_bwd=False, iters=3,
                               cfg_overrides={"bvh_tile_rows": rows,
-                                             "ray_order": order})
+                                             "ray_order": order,
+                                             "pallas_bvh_max_leaf": leaf})
                 rec = {"scene": scene, "tile_rows": rows, "order": order,
+                       "max_leaf": leaf,
                        "ms_steady": round(r["seconds_per_frame"] * 1e3, 2),
                        "rays_per_s": round(r["value"] / 1e6, 1)}
             except Exception as e:  # record and continue the sweep
                 rec = {"scene": scene, "tile_rows": rows, "order": order,
-                       "error": repr(e)[:200]}
+                       "max_leaf": leaf, "error": repr(e)[:200]}
             print(json.dumps(rec), flush=True)
             out.write(json.dumps(rec) + "\n")
             out.flush()

@@ -73,6 +73,7 @@ def test_config_validation():
 
 def test_auto_order_targets_bvh_kernel_scenes():
     cfg = RenderConfig(backend="pallas")
-    assert cfg.resolve_ray_order(100_000, platform="tpu") == "blocked"
+    # Morton measured best on v5e (scripts/tpu_tile_ab.py).
+    assert cfg.resolve_ray_order(100_000, platform="tpu") == "morton"
     assert cfg.resolve_ray_order(32, platform="tpu") == "raster"
     assert RenderConfig().resolve_ray_order(32, platform="cpu") == "raster"
