@@ -65,7 +65,11 @@ class RenderConfig:
             if self.pallas_bvh_max_leaf < 1:
                 raise ValueError("pallas_bvh_max_leaf must be positive")
             return self.pallas_bvh_max_leaf
-        return 14  # pending the leaf-width A/B (scripts/tpu_tile_ab.py)
+        # Measured on v5e (scripts/tpu_tile_ab.py sweep 3, 64-row morton
+        # tiles): 56 > 28 > 14 on teacup (118->106 ms) and dragon
+        # (56->51 ms) — wider leaves cut scalar-overhead-dominated pops;
+        # the extra MT vector work is cheaper than the pops it removes.
+        return 56
 
     def resolve_bvh_tile_rows(self) -> int:
         if self.bvh_tile_rows:
