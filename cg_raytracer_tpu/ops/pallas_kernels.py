@@ -651,11 +651,30 @@ def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, 
 REFLECT_EPS = 1e-3  # models/whitted.py::REFLECT_EPS (main.cpp:252-256)
 
 
+def _sphere_tile(ox, oy, oz, dx, dy, dz, a2, cx, cy, cz, rad):
+    """Ray-sphere quadratic against the ray tile (intersect_spheres_one
+    parity, ray_tracing.cpp:118-158).  ``a2`` = d.d precomputed per tile."""
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    b = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b * b - 4.0 * a2 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_small = (-b - sq) / (2.0 * a2)
+    t_big = (-b + sq) / (2.0 * a2)
+    t = jnp.where(t_small >= 0.0, t_small, t_big)
+    valid = (disc >= 0.0) & (t >= 0.0)
+    return t, valid
+
+
 def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  tris_ref, aux_ref, lights_ref, r_ref, g_ref, b_ref,
-                  *, num_tris, num_lights, max_depth, quirk_ks_z):
+                  tris_ref, aux_ref, spheres_ref, lights_ref,
+                  r_ref, g_ref, b_ref,
+                  *, num_tris, num_spheres, num_lights, max_depth, quirk_ks_z):
     """aux_ref rows ([T, 19]): n0 n1 n2 (9), face_n (3), kd (3), ks (3),
-    shininess (1).  lights_ref rows ([L, 6]): position (3), color (3)."""
+    shininess (1).  spheres_ref rows ([S, 11]): center (3), radius (1),
+    kd (3), ks (3), shininess (1).  lights_ref rows ([L, 6]): position (3),
+    color (3).  Sphere hits take slot num_tris + si (prim-id convention,
+    ops/intersect.py)."""
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
 
@@ -666,7 +685,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     active = jnp.ones((RAY_ROWS, RAY_COLS), jnp.int32)
 
     for level in range(max_depth):
-        # --- closest-hit sweep (same as _closest_kernel_entry) ---
+        # --- closest-hit sweep: triangles, then spheres (prim-id T + si) ---
         t_best = jnp.full((RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
         slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
         ub, vb = zeros(), zeros()
@@ -678,6 +697,17 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             slot = jnp.where(closer, ti, slot)
             ub = jnp.where(closer, u, ub)
             vb = jnp.where(closer, v, vb)
+        if num_spheres:
+            a2 = dx * dx + dy * dy + dz * dz
+            for si in range(num_spheres):
+                srow = spheres_ref[si]
+                t, valid = _sphere_tile(ox, oy, oz, dx, dy, dz, a2,
+                                        srow[0], srow[1], srow[2], srow[3])
+                closer = valid & (t < t_best)
+                t_best = jnp.where(closer, t, t_best)
+                slot = jnp.where(closer, num_tris + si, slot)
+                ub = jnp.where(closer, 0.0, ub)
+                vb = jnp.where(closer, 0.0, vb)
         hit = slot >= 0
         hit_i = hit.astype(jnp.int32)
         t_hit = jnp.where(hit, t_best, 0.0)
@@ -708,6 +738,31 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         flip = jnp.where(facing, 1.0, -1.0)
         nx, ny, nz = nx * flip, ny * flip, nz * flip
 
+        if num_spheres:
+            # Sphere attribute select + geometric normal (no facing flip —
+            # reconstruct_hit parity, ray_tracing.cpp:156).
+            is_sphere = slot >= num_tris
+            scx, scy, scz = zeros(), zeros(), zeros()
+            for si in range(num_spheres):
+                sel = slot == num_tris + si
+                srow = spheres_ref[si]
+                scx = jnp.where(sel, srow[0], scx)
+                scy = jnp.where(sel, srow[1], scy)
+                scz = jnp.where(sel, srow[2], scz)
+                kdx = jnp.where(sel, srow[4], kdx)
+                kdy = jnp.where(sel, srow[5], kdy)
+                kdz = jnp.where(sel, srow[6], kdz)
+                ksx = jnp.where(sel, srow[7], ksx)
+                ksy = jnp.where(sel, srow[8], ksy)
+                ksz = jnp.where(sel, srow[9], ksz)
+                shin = jnp.where(sel, srow[10], shin)
+            snx, sny, snz = px - scx, py - scy, pz - scz
+            sinv = 1.0 / jnp.maximum(
+                jnp.sqrt(snx * snx + sny * sny + snz * snz), 1e-20)
+            nx = jnp.where(is_sphere, snx * sinv, nx)
+            ny = jnp.where(is_sphere, sny * sinv, ny)
+            nz = jnp.where(is_sphere, snz * sinv, nz)
+
         # Reflection of the view ray (shared by specular and the next bounce).
         ddn = dx * nx + dy * ny + dz * nz
         rx = dx - 2.0 * ddn * nx
@@ -735,6 +790,14 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 t2, _, _, ok = _mt_tile(sox, soy, soz, ldx, ldy, ldz, tri)
                 blocked = jnp.maximum(blocked,
                                       (ok & (t2 < tmax_l)).astype(jnp.int32))
+            if num_spheres:
+                sa2 = ldx * ldx + ldy * ldy + ldz * ldz
+                for si in range(num_spheres):
+                    srow = spheres_ref[si]
+                    t2, ok = _sphere_tile(sox, soy, soz, ldx, ldy, ldz, sa2,
+                                          srow[0], srow[1], srow[2], srow[3])
+                    blocked = jnp.maximum(
+                        blocked, (ok & (t2 < tmax_l)).astype(jnp.int32))
             dcos = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
             scos = rx * ldx + ry * ldy + rz * ldz
             spec = jnp.power(jnp.maximum(scos, 1e-30), shin)
@@ -766,12 +829,13 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_depth", "quirk_ks_z", "interpret"))
-def _trace_call(rays6, tri_table, aux, lights, max_depth, quirk_ks_z,
-                interpret=False):
+                   static_argnames=("num_spheres", "max_depth", "quirk_ks_z",
+                                    "interpret"))
+def _trace_call(rays6, tri_table, aux, spheres, lights, num_spheres,
+                max_depth, quirk_ks_z, interpret=False):
     g = rays6[0].shape[0]
     kernel = functools.partial(
-        _trace_kernel, num_tris=tri_table.shape[0],
+        _trace_kernel, num_tris=tri_table.shape[0], num_spheres=num_spheres,
         num_lights=lights.shape[0], max_depth=max_depth,
         quirk_ks_z=quirk_ks_z)
     out_shape = [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32)
@@ -782,12 +846,13 @@ def _trace_call(rays6, tri_table, aux, lights, max_depth, quirk_ks_z,
         in_specs=[_RAY_SPEC() for _ in range(6)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table [T, 9]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attribute table [T, 19]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table [S, 11]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 6]
         ],
         out_specs=[_RAY_SPEC() for _ in range(3)],
         out_shape=out_shape,
         interpret=interpret,
-    )(*rays6, tri_table, aux, lights)
+    )(*rays6, tri_table, aux, spheres, lights)
 
 
 def _aux_table(scene: Scene):
@@ -810,15 +875,30 @@ def _aux_table(scene: Scene):
 
 
 MAX_TRACE_LIGHTS = 8  # unrolled per-light shadow sweeps; every preset has <= 2
+MAX_TRACE_SPHERES = 16  # unrolled quadric sweeps; the 'spheres' preset has 3
+
+
+def _sphere_table(scene: Scene):
+    """[S, 11] per-sphere rows: center (3), radius (1), kd (3), ks (3),
+    shininess (1) — shape the kernel's static selects expect; padded to one
+    dummy row when the scene has no spheres (the kernel skips its loops)."""
+    s = scene.spheres
+    if s.radius.shape[0] == 0:
+        return jnp.zeros((1, 11), jnp.float32)
+    return jnp.concatenate(
+        [s.center, s.radius[:, None], s.kd, s.ks, s.shininess[:, None]],
+        axis=1,
+    )
 
 
 def supports_trace_kernel(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool:
-    """The trace megakernel covers small all-triangle scenes lit by point
-    lights only (spherical-light soft shadows go through the sampler kernel;
-    spheres would need in-kernel quadric intersection + shading)."""
+    """The trace megakernel covers small triangle/sphere scenes lit by point
+    lights only (spherical-light soft shadows go through the sampler kernel)."""
+    num_prims = scene.num_triangles + scene.spheres.radius.shape[0]
     return (
-        0 < scene.num_triangles <= max_tris
-        and scene.spheres.radius.shape[0] == 0
+        0 < num_prims
+        and scene.num_triangles <= max_tris
+        and scene.spheres.radius.shape[0] <= MAX_TRACE_SPHERES
         and scene.spherical_lights.position.shape[0] == 0
         and 0 < scene.point_lights.position.shape[0] <= MAX_TRACE_LIGHTS
     )
@@ -861,12 +941,22 @@ def trace_pallas(scene: Scene, origins, dirs, max_depth: int,
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays6, n, g = _pack_rays(origins, dirs)
-    tri_table = jax.lax.stop_gradient(_tri_table(scene))
-    aux = jax.lax.stop_gradient(_aux_table(scene))
+    if scene.num_triangles > 0:
+        tri_table = jax.lax.stop_gradient(_tri_table(scene))
+        aux = jax.lax.stop_gradient(_aux_table(scene))
+    else:
+        # All-sphere scene: one degenerate (all-zero) triangle row — it can
+        # never pass Moller-Trumbore (det == 0), and Mosaic dislikes 0-sized
+        # blocks.  Sphere slots start at num_tris == 1 accordingly.
+        tri_table = jnp.zeros((1, 9), jnp.float32)
+        aux = jnp.zeros((1, 19), jnp.float32)
+    num_spheres = scene.spheres.radius.shape[0]
+    spheres = jax.lax.stop_gradient(_sphere_table(scene))
     lights = jax.lax.stop_gradient(jnp.concatenate(
         [scene.point_lights.position, scene.point_lights.color], axis=1))
-    r, g_, b = _trace_call(rays6, tri_table, aux, lights, max_depth,
-                           quirk_ks_z, interpret=interpret)
+    r, g_, b = _trace_call(rays6, tri_table, aux, spheres, lights,
+                           num_spheres, max_depth, quirk_ks_z,
+                           interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
     color = jnp.stack([flat(r), flat(g_), flat(b)], axis=-1)
     return _forward_only_guard(color, deps)

@@ -85,6 +85,44 @@ def test_forward_only_grad_raises():
 
 
 def test_trace_kernel_ineligible_scenes():
-    # Spherical-light scenes keep the sampler path; sphere primitives excluded.
+    # Spherical-light scenes keep the sampler path.
     assert not supports_trace_kernel(load_scene("cornell_box_spherical_light"))
-    assert not supports_trace_kernel(load_scene("spheres"))
+
+
+def test_trace_kernel_matches_jnp_spheres():
+    # All-sphere scene: in-kernel quadric intersection + geometric normals.
+    scn = load_scene("spheres")
+    assert supports_trace_kernel(scn)
+    _compare("spheres")
+
+
+def test_trace_kernel_matches_jnp_mixed_tris_and_spheres():
+    # Mixed triangle + sphere scene (no preset has one): cube mesh + two
+    # spheres, one of which shadows the other — exercises the sphere branch
+    # of the closest sweep, the attribute merge, and sphere occlusion.
+    import jax.numpy as jnp
+
+    from cg_raytracer_tpu.scene.loader import load_obj
+    from cg_raytracer_tpu.scene.presets import default_data_dir
+    from cg_raytracer_tpu.scene.types import PointLights, Spheres, make_scene
+    import os
+
+    meshes = load_obj(os.path.join(default_data_dir(), "cube.obj"))
+    spheres = Spheres(
+        center=jnp.asarray([[1.5, 0.5, 0.0], [-1.5, -0.5, 0.5]], jnp.float32),
+        radius=jnp.asarray([0.5, 0.4], jnp.float32),
+        kd=jnp.asarray([[0.8, 0.1, 0.1], [0.1, 0.1, 0.8]], jnp.float32),
+        ks=jnp.asarray([[0.2, 0.2, 0.2], [0.0, 0.0, 0.0]], jnp.float32),
+        shininess=jnp.asarray([8.0, 1.0], jnp.float32),
+    )
+    scn = make_scene(meshes, spheres=spheres,
+                     point_lights=PointLights.of(((-1, 1, -1), (1.0, 1.0, 1.0))))
+    assert supports_trace_kernel(scn)
+    cam = Camera.default(aspect=1.0)
+    cfg = RenderConfig(width=48, height=48, backend="pallas")
+    ref = render(scn, cam, cfg)
+    fwd = render(scn, cam, dataclasses.replace(cfg, forward_only=True))
+    diff = np.abs(np.asarray(ref) - np.asarray(fwd)).max(axis=-1)
+    assert float((diff > 1e-4).mean()) < 0.005
+    # The spheres must actually appear in the kernel render.
+    assert np.asarray(fwd)[..., 0].max() > 0.05
