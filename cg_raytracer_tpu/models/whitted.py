@@ -78,7 +78,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 f"scene) or set CGRT_ALLOW_TPU_BVH=1 to override"
             )
         if bvh is None:
-            bvh = build_bvh(scene)
+            bvh = build_bvh(scene,
+                            builder=cfg.resolve_bvh_builder(scene.num_triangles))
         return Backend(
             closest=lambda o, d: intersect_bvh(scene, bvh, o, d),
             occluded=lambda o, d, tm: occluded_bvh(scene, bvh, o, d, tm),
@@ -164,7 +165,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             if not isinstance(bvh, PackedBVH):
                 # Host-side packing — must happen outside jit (build_accel does this).
                 _, bvh = build_packed_bvh(
-                    scene, max_leaf=cfg.resolve_pallas_bvh_max_leaf())
+                    scene, max_leaf=cfg.resolve_pallas_bvh_max_leaf(),
+                    builder=cfg.resolve_bvh_builder(scene.num_triangles))
             packed = bvh
             bounce = None
             if supports_fused_bounce_bvh(scene):
@@ -198,13 +200,67 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         if supports_pallas_bvh_hbm(scene):
             # Past the VMEM cap: nodes stay on-chip, triangles stream from HBM.
             if not isinstance(bvh, HBMBVH):
-                _, bvh = build_hbm_bvh(scene)
+                _, bvh = build_hbm_bvh(
+                    scene, builder=cfg.resolve_bvh_builder(scene.num_triangles))
             return _hbm_backend(bvh)
         raise ValueError(
             "pallas BVH backend: scene exceeds even the HBM-streaming node "
             "budget; use backend='bvh' for this scene"
         )
     raise ValueError(f"Unknown backend {kind!r}")
+
+
+def _spread10(v):
+    """Interleave a <=10-bit uint32 lane into every 3rd bit (3-D morton)."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _bounce_sort_keys(o, d, lo, hi, active, mode):
+    """uint32 sort key per secondary ray: morton code of the ray origin (the
+    previous bounce's hit position), quantized to the scene AABB; 'posdir'
+    prefixes the direction octant (3 bits) so opposite-facing rays never share
+    a tile's near-to-far child ordering.  Inactive rays key to the max so they
+    group together at the end."""
+    span = jnp.maximum(hi - lo, 1e-6)
+    bits = 9 if mode == "posdir" else 10
+    q = (jnp.clip((o - lo) / span, 0.0, 1.0) * ((1 << bits) - 1)).astype(jnp.uint32)
+    key = _spread10(q[:, 0]) | (_spread10(q[:, 1]) << 1) | (_spread10(q[:, 2]) << 2)
+    if mode == "posdir":
+        octant = ((d[:, 0] > 0).astype(jnp.uint32)
+                  | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                  | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+        key = key | (octant << 27)
+    return jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+
+
+def _resorted_query(backend: Backend, o, d, active, lo, hi, mode):
+    """Run the bounce>=1 closest-hit (+fused shadow) query with deactivated
+    rays parked outside the scene AABB pointing away, so tiles made entirely
+    of them fail the root slab test and exit after one pop; their (miss)
+    results are discarded by the caller's ``lit = active & surf.valid`` gate.
+    'pos'/'posdir' additionally re-sort rays by coherence key (measured a loss
+    on v5e — see RenderConfig.bounce_resort), un-permuting the results."""
+    park = hi + (hi - lo) + 1.0
+    o = jnp.where(active[:, None], o, park)
+    d = jnp.where(active[:, None], d, jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    if mode == "park":
+        if backend.bounce is not None:
+            return backend.bounce(o, d)
+        return backend.closest(o, d), None
+    keys = _bounce_sort_keys(o, d, lo, hi, active, mode)
+    p = jnp.argsort(keys)
+    n = o.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[p].set(jnp.arange(n, dtype=jnp.int32))
+    o_s, d_s = o[p], d[p]
+    if backend.bounce is not None:
+        hit, bits = backend.bounce(o_s, d_s)
+        return jax.tree_util.tree_map(lambda x: x[inv], hit), bits[inv]
+    hit = backend.closest(o_s, d_s)
+    return jax.tree_util.tree_map(lambda x: x[inv], hit), None
 
 
 def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend, key,
@@ -230,10 +286,20 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     throughput = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
 
+    resort = cfg.resolve_bounce_resort(scene.num_triangles)
+    if scene.num_vertices == 0:  # all-sphere scene: no AABB to quantize into
+        resort = "off"
+    if resort != "off":
+        verts = jax.lax.stop_gradient(scene.vertices)
+        scene_lo, scene_hi = jnp.min(verts, axis=0), jnp.max(verts, axis=0)
+
     o, d = origins, dirs
     for level in range(cfg.max_depth):
         shadow_bits = None
-        if backend.bounce is not None:
+        if level > 0 and resort != "off":
+            hit, shadow_bits = _resorted_query(backend, o, d, active,
+                                               scene_lo, scene_hi, resort)
+        elif backend.bounce is not None:
             hit, shadow_bits = backend.bounce(o, d)
         else:
             hit = backend.closest(o, d)
@@ -458,18 +524,21 @@ def build_accel(scene: Scene, cfg: RenderConfig):
     ``render(bvh=None)`` calls this every frame and relies on the cache.
     """
     kind = cfg.resolve_backend(scene.num_triangles)
+    builder = cfg.resolve_bvh_builder(scene.num_triangles)
     if kind == "bvh":
-        return _cached_accel(scene, ("bvh",), lambda: build_bvh(scene))
+        return _cached_accel(scene, ("bvh", builder),
+                             lambda: build_bvh(scene, builder=builder))
     if kind == "pallas" and scene.num_triangles > cfg.pallas_brute_max_tris:
         from ..ops.pallas_bvh import (build_hbm_bvh, build_packed_bvh,
                                       supports_pallas_bvh)
 
         if supports_pallas_bvh(scene):
             leaf = cfg.resolve_pallas_bvh_max_leaf()
-            return _cached_accel(scene, ("pallas-vmem", leaf),
-                                 lambda: build_packed_bvh(scene, max_leaf=leaf)[1])
-        return _cached_accel(scene, ("pallas-hbm",),
-                             lambda: build_hbm_bvh(scene)[1])
+            return _cached_accel(
+                scene, ("pallas-vmem", leaf, builder),
+                lambda: build_packed_bvh(scene, max_leaf=leaf, builder=builder)[1])
+        return _cached_accel(scene, ("pallas-hbm", builder),
+                             lambda: build_hbm_bvh(scene, builder=builder)[1])
     return None
 
 

@@ -109,9 +109,115 @@ def _build_numpy(tri_lo, tri_hi, centroids, max_depth, max_leaf):
     )
 
 
+def _build_numpy_sah(tri_lo, tri_hi, centroids, max_depth, max_leaf, bins=16):
+    """Host BVH build with binned surface-area-heuristic splits.
+
+    Not in the reference (it always splits at the centroid median,
+    bvh.cpp:192-207); SAH minimizes expected traversal cost
+    ``area(L)*n_L + area(R)*n_R`` over ``bins`` candidate planes per axis,
+    which matters doubly for the tile-synchronous kernels: a tile visits the
+    *union* of its rays' nodes, so tighter boxes cut the union for every ray
+    at once.  Same output contract as ``_build_numpy``.
+    """
+    num_tris = tri_lo.shape[0]
+    order = np.arange(num_tris, dtype=np.int32)
+
+    node_lo, node_hi = [], []
+    left, right, first, count = [], [], [], []
+
+    def new_node():
+        node_lo.append(np.zeros(3, np.float32))
+        node_hi.append(np.zeros(3, np.float32))
+        left.append(-1)
+        right.append(-1)
+        first.append(0)
+        count.append(0)
+        return len(left) - 1
+
+    def half_area(ext):
+        ext = np.maximum(ext, 0.0)
+        return ext[..., 0] * ext[..., 1] + ext[..., 1] * ext[..., 2] + ext[..., 2] * ext[..., 0]
+
+    inf3 = np.full(3, np.inf, np.float32)
+    root = new_node()
+    stack = [(root, 0, num_tris, 0)]
+    while stack:
+        ni, begin, end, depth = stack.pop()
+        ids = order[begin:end]
+        lo = tri_lo[ids].min(axis=0)
+        hi = tri_hi[ids].max(axis=0)
+        node_lo[ni], node_hi[ni] = lo, hi
+        n = end - begin
+        if n <= max_leaf or depth >= max_depth:
+            first[ni] = begin
+            count[ni] = n
+            continue
+
+        cent = centroids[ids]
+        clo, chi = cent.min(axis=0), cent.max(axis=0)
+        best = None  # (cost, axis, mask_left)
+        for axis in range(3):
+            ext = chi[axis] - clo[axis]
+            if ext <= 0.0:
+                continue
+            b = np.minimum(((cent[:, axis] - clo[axis]) * (bins / ext)).astype(np.int64),
+                           bins - 1)
+            cnt = np.bincount(b, minlength=bins)
+            blo = np.full((bins, 3), np.inf, np.float32)
+            bhi = np.full((bins, 3), -np.inf, np.float32)
+            np.minimum.at(blo, b, tri_lo[ids])
+            np.maximum.at(bhi, b, tri_hi[ids])
+            # Empty bins carry +/-inf sentinels; min/max accumulate ignores them.
+            llo = np.minimum.accumulate(blo, axis=0)
+            lhi = np.maximum.accumulate(bhi, axis=0)
+            rlo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            rhi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(cnt)[:-1]
+            rcnt = n - lcnt
+            al = half_area(lhi[:-1] - llo[:-1])
+            ar = half_area(rhi[1:] - rlo[1:])
+            cost = (np.where(lcnt > 0, al * lcnt, 0.0)
+                    + np.where(rcnt > 0, ar * rcnt, 0.0))
+            # Degenerate splits (one side empty) devolve to no progress: forbid.
+            cost = np.where((lcnt == 0) | (rcnt == 0), np.inf, cost)
+            s = int(np.argmin(cost))
+            if np.isfinite(cost[s]) and (best is None or cost[s] < best[0]):
+                best = (float(cost[s]), axis, b <= s)
+        if best is None:
+            # All centroids coincide: median split on the longest axis (ties
+            # broken arbitrarily), mirroring the non-SAH builder's fallback.
+            mid = n // 2
+            mask_left = np.zeros(n, bool)
+            mask_left[:mid] = True
+        else:
+            mask_left = best[2]
+        order[begin:end] = np.concatenate([ids[mask_left], ids[~mask_left]])
+        mid = int(mask_left.sum())
+        li, ri = new_node(), new_node()
+        left[ni], right[ni] = li, ri
+        stack.append((ri, begin + mid, end, depth + 1))
+        stack.append((li, begin, begin + mid, depth + 1))
+
+    return (
+        np.asarray(node_lo, np.float32),
+        np.asarray(node_hi, np.float32),
+        np.asarray(left, np.int32),
+        np.asarray(right, np.int32),
+        np.asarray(first, np.int32),
+        np.asarray(count, np.int32),
+        order,
+    )
+
+
 def build_bvh(scene: Scene, max_depth: int = DEFAULT_MAX_DEPTH,
-              max_leaf: int = DEFAULT_MAX_LEAF, use_native: bool = True) -> BVH:
+              max_leaf: int = DEFAULT_MAX_LEAF, use_native: bool = True,
+              builder: str = "median") -> BVH:
     """Build the flat BVH for a scene's triangle soup (host-side, one-time cost).
+
+    ``builder``: 'median' (reference split rule, bvh.cpp:192-207) or 'sah'
+    (binned surface-area heuristic — not in the reference; better trees for
+    the tile-synchronous kernels).  Both honor the oracle contract; hit
+    results may differ only on coincident-t tie-breaks.
 
     Splitting leaves with > max_leaf tris past max_depth is impossible, so oversized
     leaves can exist at the depth cap (the reference has the same property at its
@@ -127,8 +233,12 @@ def build_bvh(scene: Scene, max_depth: int = DEFAULT_MAX_DEPTH,
     tri_hi = np.maximum(np.maximum(p0, p1), p2)
     centroids = (p0 + p1 + p2) / 3.0
 
+    if builder not in ("median", "sah"):
+        raise ValueError(f"builder must be 'median' | 'sah', got {builder!r}")
     built = None
-    if use_native:
+    if builder == "sah":
+        built = _build_numpy_sah(tri_lo, tri_hi, centroids, max_depth, max_leaf)
+    if built is None and use_native:
         try:
             from ..native import native_build_bvh
 

@@ -131,9 +131,10 @@ def pack_bvh_rows(bvh: BVH) -> PackedBVH:
     )
 
 
-def build_packed_bvh(scene: Scene, max_leaf: int = PALLAS_BVH_MAX_LEAF):
+def build_packed_bvh(scene: Scene, max_leaf: int = PALLAS_BVH_MAX_LEAF,
+                     builder: str = "median"):
     """Build a BVH tuned for the Pallas kernel (full-row leaves) + its packing."""
-    bvh = build_bvh(scene, max_leaf=max_leaf)
+    bvh = build_bvh(scene, max_leaf=max_leaf, builder=builder)
     return bvh, pack_bvh_rows(bvh)
 
 
@@ -545,11 +546,12 @@ def choose_leaf_rows(num_tris: int) -> int:
     )
 
 
-def build_hbm_bvh(scene: Scene, leaf_rows: int | None = None):
+def build_hbm_bvh(scene: Scene, leaf_rows: int | None = None,
+                  builder: str = "median"):
     """Host-side build+pack for the HBM-resident kernel."""
     if leaf_rows is None:
         leaf_rows = choose_leaf_rows(scene.num_triangles)
-    bvh = build_bvh(scene, max_leaf=leaf_rows * TRIS_PER_ROW)
+    bvh = build_bvh(scene, max_leaf=leaf_rows * TRIS_PER_ROW, builder=builder)
     packed = pack_bvh_rows(bvh)
     # Pad lanes 126 -> 128 (Mosaic DMA slices must be lane-tile aligned) and
     # tail-pad so a fixed-size DMA starting at any leaf's first row stays in

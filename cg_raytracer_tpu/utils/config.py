@@ -60,6 +60,50 @@ class RenderConfig:
     # small increase in dense MT vector work.  0 = auto.
     pallas_bvh_max_leaf: int = 0
 
+    # Between-bounce ray handling for the tile-synchronous BVH kernels.
+    # 'park': deactivated rays (missed / non-reflective at the previous bounce)
+    # are parked outside the scene AABB pointing away, so tiles made entirely
+    # of them fail the root slab test and exit after one pop — without it a
+    # missed background pixel re-traverses the whole tree every bounce with
+    # its stale ray.  'pos'/'posdir' additionally re-sort bounce>=1 rays by a
+    # morton code of the hit position (+ direction octant) — measured a LOSS
+    # on v5e (scripts/tpu_resort_ab.py: bounce origins are already
+    # image-coherent and the 640K argsort costs more than it recovers); kept
+    # as knobs for other geometry.  Results are identical in all modes (parked
+    # rays' hits are discarded; sorting is a pure permutation).
+    # 'auto' | 'off' | 'park' | 'pos' | 'posdir'.
+    bounce_resort: str = "auto"
+
+    def resolve_bounce_resort(self, num_tris: int, platform: str | None = None) -> str:
+        if self.bounce_resort not in ("auto", "off", "park", "pos", "posdir"):
+            raise ValueError(
+                f"bounce_resort must be 'auto' | 'off' | 'park' | 'pos' | "
+                f"'posdir', got {self.bounce_resort!r}")
+        if self.bounce_resort != "auto":
+            return self.bounce_resort
+        # Only the tile-synchronous BVH kernels are grouping-sensitive; the
+        # brute kernels sweep every triangle for every tile regardless.
+        if (self.resolve_backend(num_tris, platform) == "pallas"
+                and num_tris > self.pallas_brute_max_tris):
+            return "park"
+        return "off"
+
+    # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
+    # 'sah' (binned surface-area heuristic — tighter boxes shrink the node
+    # union a tile-synchronous ray tile must visit).  'auto' = measured best
+    # per backend.  Pure build-side change: the oracle contract is unchanged
+    # (tie-breaks on coincident-t edges may differ).
+    bvh_builder: str = "auto"
+
+    def resolve_bvh_builder(self, num_tris: int, platform: str | None = None) -> str:
+        if self.bvh_builder not in ("auto", "median", "sah"):
+            raise ValueError(
+                f"bvh_builder must be 'auto' | 'median' | 'sah', got "
+                f"{self.bvh_builder!r}")
+        if self.bvh_builder != "auto":
+            return self.bvh_builder
+        return "median"
+
     def resolve_pallas_bvh_max_leaf(self) -> int:
         if self.pallas_bvh_max_leaf:
             if self.pallas_bvh_max_leaf < 1:

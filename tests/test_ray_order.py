@@ -62,6 +62,38 @@ def test_blocked_groups_are_rectangles():
     assert ys.max() == rows - 1 and xs.max() == 127
 
 
+@pytest.mark.parametrize("mode", ["park", "pos", "posdir"])
+def test_bounce_resort_is_bitwise_invariant(monkey, mode):
+    base = _img(monkey, bounce_resort="off")
+    sorted_ = _img(monkey, bounce_resort=mode)
+    np.testing.assert_array_equal(base, sorted_)
+
+
+def test_bounce_resort_grads_match(monkey):
+    # The resort path (argsort + gathers + parked inactive rays) must be
+    # gradient-transparent: same kd grad as the unsorted query.
+    import jax
+    import jax.numpy as jnp
+
+    from cg_raytracer_tpu.models.whitted import build_accel, make_backend, render_image
+
+    cam = Camera.default(aspect=1.0)
+
+    def loss(kd, resort):
+        cfg = RenderConfig(width=24, height=24, backend="pallas",
+                           bounce_resort=resort)
+        scn = dataclasses.replace(
+            monkey, materials=dataclasses.replace(monkey.materials, kd=kd))
+        bvh = build_accel(scn, cfg)
+        backend = make_backend(scn, cfg, bvh=bvh)
+        return jnp.sum(render_image(scn, cam, cfg, backend=backend) ** 2)
+
+    kd = monkey.materials.kd
+    g_off = jax.grad(loss)(kd, "off")
+    g_on = jax.grad(loss)(kd, "posdir")
+    np.testing.assert_allclose(np.asarray(g_off), np.asarray(g_on), rtol=1e-6)
+
+
 def test_config_validation():
     cfg = RenderConfig(bvh_tile_rows=12)
     with pytest.raises(ValueError, match="bvh_tile_rows"):
@@ -69,6 +101,9 @@ def test_config_validation():
     cfg = RenderConfig(ray_order="zigzag")
     with pytest.raises(ValueError, match="ray_order"):
         cfg.resolve_ray_order(10_000)
+    cfg = RenderConfig(bounce_resort="yes")
+    with pytest.raises(ValueError, match="bounce_resort"):
+        cfg.resolve_bounce_resort(10_000)
 
 
 def test_auto_order_targets_bvh_kernel_scenes():
