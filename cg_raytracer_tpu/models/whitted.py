@@ -423,6 +423,16 @@ def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     from ..ops import effects
 
+    if cfg.bloom and cfg.reference_quirks and cfg.anti_aliasing and not cfg.motion_blur:
+        # The reference's AA+bloom path thresholds the running subsample sum
+        # and its final setPixel REPLACES the AA average (main.cpp:663-705);
+        # it cannot be expressed as a post-pass on the supersampled image.
+        return effects.bloom_quirk_aa(
+            lambda off: _render_flat(scene, camera, cfg, backend, key,
+                                     offset=off, sample_constrain=sample_constrain),
+            cfg,
+        )
+
     def base_render(camera_, key_):
         if cfg.anti_aliasing:
             return effects.supersample_render(

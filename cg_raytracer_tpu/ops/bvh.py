@@ -138,7 +138,6 @@ def _build_numpy_sah(tri_lo, tri_hi, centroids, max_depth, max_leaf, bins=16):
         ext = np.maximum(ext, 0.0)
         return ext[..., 0] * ext[..., 1] + ext[..., 1] * ext[..., 2] + ext[..., 2] * ext[..., 0]
 
-    inf3 = np.full(3, np.inf, np.float32)
     root = new_node()
     stack = [(root, 0, num_tris, 0)]
     while stack:
@@ -157,11 +156,16 @@ def _build_numpy_sah(tri_lo, tri_hi, centroids, max_depth, max_leaf, bins=16):
         clo, chi = cent.min(axis=0), cent.max(axis=0)
         best = None  # (cost, axis, mask_left)
         for axis in range(3):
-            ext = chi[axis] - clo[axis]
-            if ext <= 0.0:
+            ext = np.float64(chi[axis]) - np.float64(clo[axis])
+            # Skip near-degenerate axes: a float32-denormal extent overflows
+            # bins/ext to inf, and 0*inf -> NaN -> negative int64 -> bincount
+            # crash (ADVICE r2).  float64 binning + a hard floor avoids both.
+            if ext <= 1e-30:
                 continue
-            b = np.minimum(((cent[:, axis] - clo[axis]) * (bins / ext)).astype(np.int64),
-                           bins - 1)
+            b = np.minimum(
+                ((cent[:, axis].astype(np.float64) - np.float64(clo[axis]))
+                 * (bins / ext)).astype(np.int64),
+                bins - 1)
             cnt = np.bincount(b, minlength=bins)
             blo = np.full((bins, 3), np.inf, np.float32)
             bhi = np.full((bins, 3), -np.inf, np.float32)

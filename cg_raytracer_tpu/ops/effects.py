@@ -98,13 +98,41 @@ def _bloom_quirk(img):
 
     The in-place data dependence is inherently sequential, so this is a
     row/column ``lax.scan`` over pixels — O(H*W) steps of a 21x21 window mean.
-    It exists for pixel parity, not speed; the AA-path threshold variant
-    (main.cpp:676-682) is not reproduced (quirk bloom matches the no-AA path,
-    and PARITY.md documents the gap).
+    It exists for pixel parity, not speed.  The AA-path threshold variant
+    (main.cpp:676-682) is ``bloom_quirk_aa`` below.
     """
-    h, w = img.shape[0], img.shape[1]
-    r = BLOOM_RADIUS
     bright = jnp.where(jnp.sum(img, axis=-1, keepdims=True) > 1.0, img, 0.0)
+    return img + _bloom_quirk_blur(bright)
+
+
+def bloom_quirk_aa(render_offset_fn, cfg: RenderConfig):
+    """The reference's bloom on the *AA path*, bug-for-bug (main.cpp:663-705).
+
+    With anti-aliasing on, the reference's per-subsample bloom block overwrites
+    the bright buffer every subsample, so only the LAST (x+0.5, y+0.5)
+    subsample's write survives — gated on the *running 4-subsample sum*
+    (undivided, so effectively ``sum4 > 1`` where the displayed AA value is
+    ``sum4/5``), storing that last subsample's color (main.cpp:676-682).
+    ``bloomEffect`` then in-place-blurs that buffer and its final ``setPixel``
+    REPLACES the anti-aliased pixel with ``blurred + getFinalColor(center
+    ray)`` — an un-antialiased base (main.cpp:616-624), i.e. AA affects the
+    output only through the threshold test.
+
+    ``render_offset_fn((ox, oy) in pixel units) -> [H, W, 3]``, matching
+    ``supersample_render``'s offset convention.
+    """
+    offsets = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]
+    imgs = [render_offset_fn(off) for off in offsets]
+    total = imgs[0] + imgs[1] + imgs[2] + imgs[3]
+    # Subsample loop order is y then x, so (0.5, 0.5) is written last.
+    bright = jnp.where(jnp.sum(total, axis=-1, keepdims=True) > 1.0, imgs[3], 0.0)
+    return imgs[0] + _bloom_quirk_blur(bright)
+
+
+def _bloom_quirk_blur(bright):
+    """The reference's sequential in-place 21x21 window mean (main.cpp:586-614)."""
+    h, w = bright.shape[0], bright.shape[1]
+    r = BLOOM_RADIUS
     ys = jnp.arange(h)
     xs = jnp.arange(w)
     # In-bounds window size per pixel (center included): the reference's
@@ -126,7 +154,7 @@ def _bloom_quirk(img):
         return buf, None
 
     buf, _ = jax.lax.scan(one_row, buf, ys)
-    return img + buf[r:r + h, r:r + w]
+    return buf[r:r + h, r:r + w]
 
 
 def motion_blur(base_render_fn, camera: Camera, cfg: RenderConfig, key):

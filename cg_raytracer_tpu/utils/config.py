@@ -90,9 +90,11 @@ class RenderConfig:
 
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
     # 'sah' (binned surface-area heuristic — tighter boxes shrink the node
-    # union a tile-synchronous ray tile must visit).  'auto' = measured best
-    # per backend.  Pure build-side change: the oracle contract is unchanged
-    # (tie-breaks on coincident-t edges may differ).
+    # union a tile-synchronous ray tile must visit).  'auto' currently means
+    # 'median'; flipped per-backend only when the TPU A/B sweep
+    # (scripts/tpu_tile_ab.py / ab_results.jsonl) shows SAH winning.  Pure
+    # build-side change: the oracle contract is unchanged (tie-breaks on
+    # coincident-t edges may differ).
     bvh_builder: str = "auto"
 
     def resolve_bvh_builder(self, num_tris: int, platform: str | None = None) -> str:

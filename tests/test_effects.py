@@ -106,6 +106,57 @@ def test_bloom_quirk_matches_reference_transcription():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_bloom_quirk_aa_matches_reference_transcription():
+    """AA+bloom quirk path (main.cpp:663-705): threshold on the running
+    4-subsample sum, bright value = LAST (x+.5, y+.5) subsample, final pixel =
+    in-place blur + un-antialiased center render (replacing the AA average)."""
+    from cg_raytracer_tpu.ops.effects import bloom_quirk_aa
+
+    rng = np.random.default_rng(2)
+    subs = {off: rng.uniform(0.0, 0.5, (20, 20, 3)).astype(np.float32)
+            for off in [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]}
+    subs[(0.5, 0.5)][4, 6] = [0.9, 0.9, 0.9]  # pushes the 4-sum over 1 there
+
+    # numpy transcription of the reference loop
+    total = sum(subs.values())
+    bright = np.where(total.sum(-1, keepdims=True) > 1.0, subs[(0.5, 0.5)], 0.0)
+    b = bright.astype(np.float64)
+    h, w, _ = b.shape
+    for y in range(h):
+        for x in range(w):
+            counter = 1
+            acc = b[y, x].copy()
+            for i in range(-10, 11):
+                if y + i < 0 or y + i > h - 1:
+                    continue
+                for j in range(-10, 11):
+                    if i == 0 and j == 0:
+                        continue
+                    if x + j < 0 or x + j > w - 1:
+                        continue
+                    acc += b[y + i, x + j]
+                    counter += 1
+            b[y, x] = acc / counter
+    want = subs[(0.0, 0.0)] + b.astype(np.float32)
+
+    got = np.asarray(bloom_quirk_aa(lambda off: jnp.asarray(subs[off]), CFG))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bloom_quirk_aa_through_render(scenes):
+    # End-to-end: quirks + AA + bloom renders finite, and the base is the
+    # UN-antialiased render (the reference's final setPixel replaces the AA
+    # average) — so pixels far from any bloom energy match the no-AA render.
+    scene = scenes("spheres")
+    cfg = dataclasses.replace(CFG, width=24, height=24, reference_quirks=True,
+                              anti_aliasing=True, bloom=True)
+    out = _render(scene, cfg)
+    assert np.isfinite(out).all()
+    plain = _render(scene, dataclasses.replace(cfg, anti_aliasing=False,
+                                               bloom=False))
+    assert (out - plain).min() >= -1e-5  # bloom only adds energy
+
+
 def test_bloom_quirk_differs_from_clean_filter():
     # The in-place accumulation smears energy toward later scan positions; on a
     # bright-pixel image the quirk and clean outputs must differ.
