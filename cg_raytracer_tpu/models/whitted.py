@@ -74,8 +74,10 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             raise ValueError(
                 f"backend='bvh' (jnp while-loop traversal) device-faults on "
                 f"TPU at this scale ({scene.num_triangles} triangles); use "
-                f"backend='pallas' (the HBM-streaming kernel covers this "
-                f"scene) or set CGRT_ALLOW_TPU_BVH=1 to override"
+                f"backend='pallas' (the HBM-streaming kernel covers scenes "
+                f"to ~2.7M triangles), geometry sharding for anything larger "
+                f"(parallel/geometry.py::geometry_sharded_render), or set "
+                f"CGRT_ALLOW_TPU_BVH=1 to override"
             )
         if bvh is None:
             bvh = build_bvh(scene,

@@ -9,7 +9,8 @@ set (SURVEY §2 parallelism table):
   fused render pipeline so each chip traces its slice of the grid.
 - **Replicated scene ("TP" degenerate case)**: scene buffers carry a replicated
   sharding; gathers (triangle fetch, BVH nodes) stay chip-local.  Primitive-sharded
-  geometry for beyond-HBM scenes is the documented extension point.
+  geometry for beyond-HBM scenes is ``parallel/geometry.py`` (the real "TP" axis:
+  per-device sub-BVHs, cross-shard hit min-reduce).
 - **Gradient sync**: in the inverse-rendering train step, scene-parameter gradients
   are reduced over the mesh automatically by XLA (psum over ICI) because the
   parameters are replicated while the loss terms are ray-sharded.
