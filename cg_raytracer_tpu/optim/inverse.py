@@ -25,9 +25,10 @@ from ..utils.config import RenderConfig
 def vertex_params(scene: Scene) -> Dict:
     """Geometry parameter set: raw vertex positions.
 
-    Use with ``backend='brute'`` (or rebuild the accel per step): acceleration
-    structures are built over the *initial* geometry and the brute backend is
-    the only one whose oracle can never go stale as vertices move.
+    Works with every backend: ``optimize`` detects vertex params and refits
+    the acceleration structure's AABBs + triangle tables from the current
+    vertices inside each jitted step (ops/refit.py — topology fixed, boxes
+    exact), so BVH/Pallas oracles never go stale as vertices move.
     """
     return {"vertices": scene.vertices}
 
@@ -131,19 +132,26 @@ def optimize(
 
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
-    # Host-built BVH over the *initial* geometry; fine for material/light
-    # optimization (the oracle only depends on geometry).  For vertex optimization
-    # use backend='brute' so the acceleration structure never goes stale.
+    # Host-built BVH over the *initial* geometry.  Material/light optimization
+    # uses it as-is (the oracle only depends on geometry); when vertices are
+    # among the params, each jitted step refits its AABBs + triangle tables
+    # from the current vertices (ops/refit.py) so the oracle never goes stale.
     from ..models.whitted import build_accel, needs_bvh
 
     bvh = build_accel(scene, cfg) if needs_bvh(cfg, scene.num_triangles) else None
+    refit_plan = None
+    if bvh is not None and "vertices" in params:
+        from ..ops.refit import make_refit_plan
+
+        refit_plan = make_refit_plan(bvh, scene)
     steps_per_call = max(1, steps_per_call)
     loop_fns = {}  # chunk length -> jitted K-step loop (tail chunks retrace once)
 
     def run_chunk(k, params, opt_state, start_step):
         if k not in loop_fns:
             loop_fns[k] = make_train_loop(cfg, optimizer, apply_params, k,
-                                          mesh=mesh, bvh=bvh)
+                                          mesh=mesh, bvh=bvh,
+                                          refit_plan=refit_plan)
         return loop_fns[k](params, opt_state, scene, camera, target, key,
                            jnp.int32(start_step))
 

@@ -140,13 +140,23 @@ def sample_sharded_render(scene: Scene, camera: Camera, cfg: RenderConfig,
 
 
 def render_loss(params, scene: Scene, camera: Camera, target, cfg: RenderConfig,
-                key, apply_params, mesh: Optional[Mesh] = None, bvh=None):
+                key, apply_params, mesh: Optional[Mesh] = None, bvh=None,
+                refit_plan=None):
     """L2 image loss for inverse rendering: || render(scene <- params) - target ||^2.
 
     ``apply_params(scene, params) -> scene`` injects the optimizable leaves
-    (materials, lights, vertices) into the scene pytree.
+    (materials, lights, vertices) into the scene pytree.  ``refit_plan``
+    (ops/refit.py::make_refit_plan): when vertices are among the optimized
+    params, the acceleration structure's AABBs + triangle tables are refit
+    from the CURRENT vertices inside the loss, so BVH/Pallas backends stay
+    valid as geometry moves (without it the accel goes stale and only the
+    brute backend is safe).
     """
     scene_p = apply_params(scene, params)
+    if refit_plan is not None and bvh is not None:
+        from ..ops.refit import refit_accel
+
+        bvh = refit_accel(bvh, scene_p, refit_plan)
     backend = make_backend(scene_p, cfg, bvh=bvh)
     img = render_image(scene_p, camera, cfg, backend=backend, key=key)
     if mesh is not None:
@@ -156,7 +166,7 @@ def render_loss(params, scene: Scene, camera: Camera, target, cfg: RenderConfig,
 
 
 def make_train_step(cfg: RenderConfig, optimizer, apply_params,
-                    mesh: Optional[Mesh] = None, bvh=None):
+                    mesh: Optional[Mesh] = None, bvh=None, refit_plan=None):
     """Build the jitted inverse-rendering train step.
 
     With a mesh, the target image and the rendered image are ray-sharded while
@@ -168,7 +178,8 @@ def make_train_step(cfg: RenderConfig, optimizer, apply_params,
 
     def step(params, opt_state, scene, camera, target, key):
         loss, grads = jax.value_and_grad(render_loss)(
-            params, scene, camera, target, cfg, key, apply_params, mesh=mesh, bvh=bvh
+            params, scene, camera, target, cfg, key, apply_params, mesh=mesh,
+            bvh=bvh, refit_plan=refit_plan,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -178,7 +189,8 @@ def make_train_step(cfg: RenderConfig, optimizer, apply_params,
 
 
 def make_train_loop(cfg: RenderConfig, optimizer, apply_params,
-                    steps_per_call: int, mesh: Optional[Mesh] = None, bvh=None):
+                    steps_per_call: int, mesh: Optional[Mesh] = None, bvh=None,
+                    refit_plan=None):
     """K optimizer steps per jitted dispatch (VERDICT r1 weak #8).
 
     A per-step dispatch pays the fixed per-call cost every step (~25 ms through
@@ -201,7 +213,7 @@ def make_train_loop(cfg: RenderConfig, optimizer, apply_params,
             skey = jax.random.fold_in(key, start_step + j)
             loss, grads = jax.value_and_grad(render_loss)(
                 params_, scene, camera, target, cfg, skey, apply_params,
-                mesh=mesh, bvh=bvh,
+                mesh=mesh, bvh=bvh, refit_plan=refit_plan,
             )
             updates, opt_state_ = optimizer.update(grads, opt_state_, params_)
             params_ = jax.tree.map(lambda p, u: p + u, params_, updates)
