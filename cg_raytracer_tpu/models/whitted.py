@@ -163,6 +163,38 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             # Caller explicitly built the HBM-streaming structure — honor it
             # even when the scene would also fit the all-VMEM kernel.
             return _hbm_backend(bvh)
+
+        from ..ops.pallas_bvh4 import (PackedBVH4, bounce_pallas_bvh4,
+                                       build_packed_bvh4,
+                                       intersect_pallas_bvh4,
+                                       occluded_pallas_bvh4,
+                                       supports_fused_bounce_bvh4)
+
+        use_wide = (cfg.resolve_bvh_wide() == "4" or isinstance(bvh, PackedBVH4))
+        if (use_wide and scene.spherical_lights.position.shape[0] > 0
+                and cfg.resolve_soft_shadow_kernel()
+                and supports_soft_shadow_kernel_bvh(scene)
+                and not isinstance(bvh, PackedBVH4)):
+            # The in-kernel soft-shadow sampler runs on the binary tree; keep
+            # the whole backend binary rather than carrying both node tables.
+            use_wide = False
+        if use_wide and supports_pallas_bvh(scene):
+            if not isinstance(bvh, PackedBVH4):
+                _, bvh = build_packed_bvh4(
+                    scene, max_leaf=cfg.resolve_pallas_bvh_max_leaf(),
+                    builder=cfg.resolve_bvh_builder(scene.num_triangles))
+            packed4 = bvh
+            bounce = None
+            if supports_fused_bounce_bvh4(scene):
+                bounce = lambda o, d: bounce_pallas_bvh4(scene, packed4, o, d,
+                                                         tile_rows=rows)
+            return Backend(
+                closest=lambda o, d: intersect_pallas_bvh4(
+                    scene, packed4, o, d, tile_rows=rows),
+                occluded=lambda o, d, tm: occluded_pallas_bvh4(
+                    scene, packed4, o, d, tm, tile_rows=rows),
+                bounce=bounce,
+            )
         if supports_pallas_bvh(scene):
             if not isinstance(bvh, PackedBVH):
                 # Host-side packing — must happen outside jit (build_accel does this).
@@ -189,8 +221,18 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 use_soft_kernel = False
             if use_soft_kernel and supports_soft_shadow_kernel_bvh(scene):
                 ns = cfg.soft_shadow_samples
-                soft_vis = lambda lpos, lrad, pos, k: soft_shadow_counts_pallas_bvh(
-                    scene, packed, pos, lpos, lrad, k, ns, tile_rows=rows)
+                if cfg.resolve_soft_shadow_tile() == "cone":
+                    from ..ops.pallas_bvh import \
+                        soft_shadow_counts_pallas_bvh_cone
+
+                    soft_vis = (lambda lpos, lrad, pos, k:
+                                soft_shadow_counts_pallas_bvh_cone(
+                                    scene, packed, pos, lpos, lrad, k, ns))
+                else:
+                    soft_vis = (lambda lpos, lrad, pos, k:
+                                soft_shadow_counts_pallas_bvh(
+                                    scene, packed, pos, lpos, lrad, k, ns,
+                                    tile_rows=rows))
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh(scene, packed, o, d,
                                                           tile_rows=rows),
@@ -542,10 +584,23 @@ def build_accel(scene: Scene, cfg: RenderConfig):
                              lambda: build_bvh(scene, builder=builder))
     if kind == "pallas" and scene.num_triangles > cfg.pallas_brute_max_tris:
         from ..ops.pallas_bvh import (build_hbm_bvh, build_packed_bvh,
-                                      supports_pallas_bvh)
+                                      supports_pallas_bvh,
+                                      supports_soft_shadow_kernel_bvh)
 
         if supports_pallas_bvh(scene):
             leaf = cfg.resolve_pallas_bvh_max_leaf()
+            wide = cfg.resolve_bvh_wide() == "4"
+            if (wide and scene.spherical_lights.position.shape[0] > 0
+                    and cfg.resolve_soft_shadow_kernel()
+                    and supports_soft_shadow_kernel_bvh(scene)):
+                wide = False  # mirror make_backend's soft-sampler routing
+            if wide:
+                from ..ops.pallas_bvh4 import build_packed_bvh4
+
+                return _cached_accel(
+                    scene, ("pallas-vmem4", leaf, builder),
+                    lambda: build_packed_bvh4(scene, max_leaf=leaf,
+                                              builder=builder)[1])
             return _cached_accel(
                 scene, ("pallas-vmem", leaf, builder),
                 lambda: build_packed_bvh(scene, max_leaf=leaf, builder=builder)[1])

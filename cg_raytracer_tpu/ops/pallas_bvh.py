@@ -1081,6 +1081,199 @@ def _soft_bvh_table_call(pos3, vmask_tiles, light_row, gauss, nodes, tri_rows,
     )(gauss, *pos3, vmask_tiles, nodes, tri_rows, light_row)
 
 
+def _soft_bvh_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
+                               nodes_ref, tris_ref, light_ref, cnt_ref,
+                               stack_ref, *, num_samples, rows):
+    """Cone-coherent sampler: tile LANES are pixels, tile ROWS are samples.
+
+    The per-sample sampler (``_soft_bvh_prng_kernel``) re-traverses the tree
+    once per sample — 200 traversals per tile — even though all samples of a
+    pixel share an origin and a narrow direction cone toward the light
+    (main.cpp:166-218).  Here one (rows x 128) tile holds 128 pixels x
+    ``rows`` of their samples, so ONE any-hit traversal serves every lane:
+    the tile-union a node pays is the union of 128 adjacent pixels' light
+    cones instead of the whole image's, and each tile runs
+    ceil(num_samples / rows) traversals instead of num_samples.
+
+    Pixel data arrives in the standard 128-lane layout — blocks (1, 8, 128)
+    with row 0 meaningful, broadcast down the sample rows in-register (a
+    (1, 128) -> (rows, 128) sublane broadcast; small-lane blocks would
+    violate Mosaic's 128-lane DMA alignment).  Output: counts in row 0 of an
+    (8, 128) tile.
+    """
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
+    shape = (rows, RAY_COLS)
+    bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
+    px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
+    vm = jnp.broadcast_to(vmask_ref[0][0:1, :], shape)
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+
+    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    passes = -(-num_samples // rows)
+    cnt = jnp.zeros(shape, jnp.int32)
+    for p in range(passes):
+        smask = ((row_id + p * rows < num_samples) & (vm > 0)).astype(jnp.int32)
+        b0 = pltpu.prng_random_bits(shape)
+        b1 = pltpu.prng_random_bits(shape)
+        b2 = pltpu.prng_random_bits(shape)
+        b3 = pltpu.prng_random_bits(shape)
+        gx, gy, gz = _gauss3_from_bits(b0, b1, b2, b3)
+        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+            px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
+        _, slot, _, _ = _traverse_vmem(
+            stack_ref, nodes_ref, tris_ref, sox, soy, soz, sdx, sdy, sdz,
+            tmax, any_hit=True)
+        cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
+    total = jnp.sum(cnt, axis=0, keepdims=True)  # (1, 128) per-pixel counts
+    cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
+
+
+def _soft_bvh_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
+                                nodes_ref, tris_ref, light_ref, cnt_ref,
+                                stack_ref, *, num_samples, rows):
+    """Table variant of the cone-coherent sampler (CPU interpret tests):
+    Gaussians precomputed with jax.random, block (1, passes, 3, rows, 128)."""
+    shape = (rows, RAY_COLS)
+    bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
+    px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
+    vm = jnp.broadcast_to(vmask_ref[0][0:1, :], shape)
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+
+    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    passes = -(-num_samples // rows)
+    cnt = jnp.zeros(shape, jnp.int32)
+    for p in range(passes):
+        smask = ((row_id + p * rows < num_samples) & (vm > 0)).astype(jnp.int32)
+        gx = gauss_ref[0, p, 0]
+        gy = gauss_ref[0, p, 1]
+        gz = gauss_ref[0, p, 2]
+        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+            px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
+        _, slot, _, _ = _traverse_vmem(
+            stack_ref, nodes_ref, tris_ref, sox, soy, soz, sdx, sdy, sdz,
+            tmax, any_hit=True)
+        cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
+    total = jnp.sum(cnt, axis=0, keepdims=True)
+    cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
+
+
+def _pix_spec():
+    return pl.BlockSpec((1, 8, RAY_COLS), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "rows",
+                                             "interpret"))
+def _soft_bvh_cone_prng_call(pix4, light_row, seeds, nodes, tri_rows,
+                             num_samples, rows, interpret=False):
+    g = pix4[0].shape[0]
+    kernel = functools.partial(_soft_bvh_cone_prng_kernel,
+                               num_samples=num_samples, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [_pix_spec() for _ in range(4)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light row [1, 4]
+        ],
+        out_specs=_pix_spec(),
+        out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        interpret=interpret,
+    )(seeds, *pix4, nodes, tri_rows, light_row)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "rows",
+                                             "interpret"))
+def _soft_bvh_cone_table_call(pix4, light_row, gauss, nodes, tri_rows,
+                              num_samples, rows, interpret=True):
+    g = pix4[0].shape[0]
+    passes = gauss.shape[1]
+    kernel = functools.partial(_soft_bvh_cone_table_kernel,
+                               num_samples=num_samples, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, passes, 3, rows, RAY_COLS),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [_pix_spec() for _ in range(4)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=_pix_spec(),
+        out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        interpret=interpret,
+    )(gauss, *pix4, nodes, tri_rows, light_row)
+
+
+def soft_shadow_counts_pallas_bvh_cone(scene: Scene, packed: PackedBVH,
+                                       positions, light_pos, light_radius,
+                                       key, num_samples: int,
+                                       interpret: bool | None = None,
+                                       gauss=None,
+                                       sample_rows: int | None = None):
+    """Cone-coherent visible-sample counts (see _soft_bvh_cone_prng_kernel):
+    same [N] float32 contract as ``soft_shadow_counts_pallas_bvh`` but one
+    traversal serves 128 pixels x ``sample_rows`` samples.  ``sample_rows``
+    defaults to all samples in one pass (rounded up to a sublane multiple)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if sample_rows is None:
+        sample_rows = -(-num_samples // 8) * 8
+    positions = jax.lax.stop_gradient(positions)
+    n = positions.shape[0]
+    pad = (-n) % RAY_COLS
+    p = jnp.pad(positions, ((0, pad), (0, 0)))
+    g = (n + pad) // RAY_COLS
+
+    def pix(comp):
+        r = comp.reshape(g, 1, RAY_COLS)
+        return jnp.pad(r, ((0, 0), (0, 7), (0, 0)))
+
+    pix4 = (pix(p[:, 0]), pix(p[:, 1]), pix(p[:, 2]),
+            pix(jnp.pad(jnp.ones((n,), jnp.int32), (0, pad))))
+    light_row = jnp.concatenate(
+        [jnp.asarray(light_pos, jnp.float32).reshape(3),
+         jnp.asarray(light_radius, jnp.float32).reshape(1)]
+    )[None, :]
+    light_row = jax.lax.stop_gradient(light_row)
+
+    if gauss is None:
+        if interpret:
+            raise NotImplementedError(
+                "soft-shadow PRNG kernel has no CPU interpretation; pass "
+                "gauss= for the table variant or run on TPU")
+        cnt = _soft_bvh_cone_prng_call(pix4, light_row, _key_seeds(key),
+                                       packed.nodes, packed.tri_rows,
+                                       num_samples, sample_rows,
+                                       interpret=False)
+    else:
+        if gauss.shape[0] != num_samples:
+            raise ValueError(
+                f"gauss has {gauss.shape[0]} samples along axis 0 but "
+                f"num_samples={num_samples}; they must match")
+        passes = -(-num_samples // sample_rows)
+        # [S, N, 3] -> [G, passes, 3, rows, 128]: sample p*rows + r of pixel
+        # g*128 + l at [g, p, :, r, l].
+        gp = jnp.pad(gauss, ((0, passes * sample_rows - num_samples),
+                             (0, pad), (0, 0)))
+        gp = gp.reshape(passes, sample_rows, g, RAY_COLS, 3)
+        gp = jnp.transpose(gp, (2, 0, 4, 1, 3))
+        cnt = _soft_bvh_cone_table_call(pix4, light_row, gp,
+                                        packed.nodes, packed.tri_rows,
+                                        num_samples, sample_rows,
+                                        interpret=interpret)
+    return cnt[:, 0, :].reshape(-1)[:n].astype(jnp.float32)
+
+
 def supports_soft_shadow_kernel_bvh(scene: Scene) -> bool:
     """BVH-traversal sampler: any VMEM-resident all-triangle scene with
     spherical lights (the brute sampler caps at 256 unrolled triangles)."""

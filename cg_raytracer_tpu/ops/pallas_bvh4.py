@@ -1,0 +1,499 @@
+"""4-wide BVH traversal kernel — fewer, fatter pops for the tile-synchronous walk.
+
+Capability anchor: replaces the same ordered descent as the binary kernels
+(``/root/reference/src/bounding_volume_hierarchy.cpp:572-595``); output contract
+is identical (oracle: t, slot, u, v / any-hit).
+
+Why (measured round-2 facts, BENCH_NOTES.md): pops are *scalar/reduction*-bound
+— 8-row tiles have 5x less vector work yet lose to 64-row tiles, and leaf-56 >
+28 > 14 because wider leaves trade pops for dense vector sweeps.  The binary
+kernel pays per pop: a redundant self re-slab (children were already tested at
+push time), an any() reduce, and two child slab+reduce pairs — all to descend
+ONE level.  This kernel restructures the tree so one pop descends TWO levels:
+
+- **BVH4 nodes**: the binary tree is collapsed host-side (each node's 4
+  grandchildren become direct children).  One node row carries all four
+  children's boxes + pre-encoded stack entries, so a pop is: one row read,
+  4 slab tests (pure vector), 4 masked-min reduces, a 4-element scalar
+  sorting network, and up to 4 pushes — per TWO binary levels.
+- **No popped-node re-slab**: children are tested exactly once, at push time.
+  The lost t-bound pruning is recovered cheaply: each push records the child's
+  tile-min entry t in a parallel scalar stack, and a pop is skipped when that
+  entry t exceeds a scalar upper bound of the tile's current-best t
+  (recomputed by one max-reduce after each leaf sweep — leaf sweeps are where
+  t improves).
+- **Leaves are not re-pushed through node rows**: a leaf child's (row_first,
+  n_rows) is packed into its stack entry directly (negative encoding), so a
+  leaf pop goes straight to the Möller–Trumbore row sweep.
+
+Triangle rows are the SAME packed layout as the binary kernels
+(ops/pallas_bvh.py::pack_bvh_rows) — only the node table changes.
+
+Encodings (float32-exact: all magnitudes < 2^24):
+  internal child -> enc = node4 id
+  leaf child     -> enc = -(row_first * 64 + n_rows) - 1   (n_rows < 64)
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .bvh import _SLAB_EPS, build_bvh
+from .intersect import MISS, Hit
+from .pallas_bvh import (MAX_STACK, TRIS_PER_ROW, PackedBVH, _default_interpret,
+                         _sphere_merge, pack_bvh_rows)
+from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, SHADOW_EPS,
+                             _mt_tile, _pack_rays)
+
+_BIG = 3.4e38
+_ENC_LEAF_SHIFT = 64  # n_rows packs into the low 6 bits of the leaf encoding
+NODE4_LANES = 28  # 24 box lanes + 4 encoded child entries
+
+
+class PackedBVH4(NamedTuple):
+    """Kernel-ready 4-wide node table + the binary kernels' triangle rows."""
+
+    nodes4: jax.Array  # [N4, 28] f32
+    tri_rows: jax.Array  # [R, 126] f32 (pack_bvh_rows layout)
+    slot_to_prim: jax.Array  # [R * 14] i32
+    root_enc: int  # static: stack seed (root node id, or leaf encoding)
+    num_nodes: int
+
+
+jax.tree_util.register_pytree_node(
+    PackedBVH4,
+    lambda p: ((p.nodes4, p.tri_rows, p.slot_to_prim), (p.root_enc, p.num_nodes)),
+    lambda aux, ch: PackedBVH4(*ch, root_enc=aux[0], num_nodes=aux[1]),
+)
+
+
+def collapse_bvh4(packed: PackedBVH) -> PackedBVH4:
+    """Host-side collapse of the packed binary tree into 4-wide nodes."""
+    nodes = np.asarray(packed.nodes)
+    left = nodes[:, 6].astype(np.int64)
+    right = nodes[:, 7].astype(np.int64)
+    row_first = nodes[:, 8].astype(np.int64)
+    n_rows = nodes[:, 9].astype(np.int64)
+    is_leaf = nodes[:, 10] > 0.5
+    lo = nodes[:, 0:3]
+    hi = nodes[:, 3:6]
+    assert int(n_rows.max(initial=0)) < _ENC_LEAF_SHIFT, "leaf too tall to encode"
+
+    def leaf_enc(b):
+        e = -(row_first[b] * _ENC_LEAF_SHIFT + n_rows[b]) - 1
+        assert -e < (1 << 24), "leaf encoding exceeds float32-exact range"
+        return float(e)
+
+    rows = []  # each: (box[4][6], enc[4]) with binary ids for internal children
+    id4_of = {}  # binary node id -> bvh4 row index (internal nodes only)
+
+    def emit(b):
+        """Create the BVH4 row for internal binary node b; returns its id."""
+        if b in id4_of:
+            return id4_of[b]
+        my = len(rows)
+        id4_of[b] = my
+        rows.append(None)  # reserve slot (children may emit recursively)
+        children = []  # (binary id or None-for-leaf, lo, hi, enc_placeholder)
+        for c in (left[b], right[b]):
+            c = int(c)
+            if is_leaf[c]:
+                children.append((lo[c], hi[c], leaf_enc(c)))
+            else:
+                gl, gr = int(left[c]), int(right[c])
+                for g in (gl, gr):
+                    if is_leaf[g]:
+                        children.append((lo[g], hi[g], leaf_enc(g)))
+                    else:
+                        children.append((lo[g], hi[g], ("node", g)))
+        assert len(children) <= 4
+        rows[my] = children
+        return my
+
+    # Root handling: a leaf root never touches the node table.
+    if is_leaf[0]:
+        root_enc = leaf_enc(0)
+        n4 = 1
+        table = np.full((1, NODE4_LANES), np.nan, np.float32)
+        table[:, 24:28] = 0.0
+    else:
+        # Iterative BFS emit (recursion depth could hit Python limits).
+        pending = [0]
+        emit(0)
+        # emit() above is shallow (no recursion) — walk the worklist.
+        i = 0
+        while i < len(rows):
+            for c in rows[i]:
+                if isinstance(c[2], tuple):
+                    emit(c[2][1])
+            i += 1
+        n4 = len(rows)
+        assert n4 < (1 << 24)
+        table = np.zeros((n4, NODE4_LANES), np.float32)
+        # Empty child slots carry NaN boxes: every slab comparison is false, so
+        # they can never be visited.  (An "inverted" lo > hi box does NOT work:
+        # the slab test's per-axis min/max un-inverts it into an
+        # everything-box — measured as an infinite traversal loop.)
+        for c in range(4):
+            table[:, 6 * c:6 * c + 6] = np.nan
+        for my, children in enumerate(rows):
+            for c, (clo, chi, enc) in enumerate(children):
+                table[my, 6 * c:6 * c + 3] = clo
+                table[my, 6 * c + 3:6 * c + 6] = chi
+                if isinstance(enc, tuple):
+                    enc = float(id4_of[enc[1]])
+                table[my, 24 + c] = enc
+        root_enc = 0.0
+
+    return PackedBVH4(
+        nodes4=jnp.asarray(table),
+        tri_rows=packed.tri_rows,
+        slot_to_prim=packed.slot_to_prim,
+        root_enc=float(root_enc),
+        num_nodes=n4,
+    )
+
+
+def build_packed_bvh4(scene: Scene, max_leaf: int, builder: str = "median"):
+    """Host build: binary BVH -> packed rows -> 4-wide collapse."""
+    bvh = build_bvh(scene, max_leaf=max_leaf, builder=builder)
+    return bvh, collapse_bvh4(pack_bvh_rows(bvh))
+
+
+def _slab4(ox, oy, oz, ix, iy, iz, row, c):
+    """Slab test of child c's box (static lanes 6c..6c+6) against the tile."""
+    b = 6 * c
+    t0x = (row[b + 0] - ox) * ix
+    t1x = (row[b + 3] - ox) * ix
+    t0y = (row[b + 1] - oy) * iy
+    t1y = (row[b + 4] - oy) * iy
+    t0z = (row[b + 2] - oz) * iz
+    t1z = (row[b + 5] - oz) * iz
+    tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                      jnp.minimum(t0z, t1z))
+    tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    pad = _SLAB_EPS * (1.0 + jnp.abs(tout))
+    hit = (tin <= tout + pad) & (tout >= -pad)
+    return tin, hit
+
+
+def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
+                    ox, oy, oz, dx, dy, dz, t0, root_enc: float,
+                    any_hit: bool):
+    """Tile-synchronous 4-wide traversal (see module docstring).  Same return
+    contract as pallas_bvh._traverse_vmem: (t_best, slot, u, v)."""
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    stack_ref[0] = jnp.float32(root_enc)
+    tstack_ref[0] = jnp.float32(-_BIG)
+
+    def cond(c):
+        sp, t_best, slot, u, v, done, t_ub = c
+        return (sp > 0) & jnp.logical_not(done)
+
+    def body(c):
+        sp, t_best, slot, u, v, done, t_ub = c
+        sp = sp - 1
+        enc = stack_ref[sp]
+        tin_pushed = tstack_ref[sp]
+
+        # 0 = stale (pushed entry t already beyond the tile's best) -> skip,
+        # 1 = internal node, 2 = leaf sweep.
+        kind = jnp.where(tin_pushed > t_ub, 0,
+                         jnp.where(enc >= 0, 1, 2))
+
+        def skip_fn(args):
+            return args
+
+        def internal_fn(args):
+            sp, t_best, slot, u, v, done, t_ub = args
+            row = nodes4_ref[enc.astype(jnp.int32)]
+            tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+            bound = t_best + tpad
+            tins = []
+            for ci in range(4):
+                tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
+                hit = hit & (tin <= bound)
+                tins.append(jnp.min(jnp.where(hit, tin, _BIG)))
+            e0, e1, e2, e3 = row[24], row[25], row[26], row[27]
+            t0_, t1_, t2_, t3_ = tins
+
+            # 4-element sorting network on (tin, enc) pairs, DESCENDING tin,
+            # so the nearest child is pushed last (popped first).
+            def cswap(ta, ea, tb, eb):
+                sw = ta < tb
+                return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
+                        jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
+
+            t0_, e0, t1_, e1 = cswap(t0_, e0, t1_, e1)
+            t2_, e2, t3_, e3 = cswap(t2_, e2, t3_, e3)
+            t0_, e0, t2_, e2 = cswap(t0_, e0, t2_, e2)
+            t1_, e1, t3_, e3 = cswap(t1_, e1, t3_, e3)
+            t1_, e1, t2_, e2 = cswap(t1_, e1, t2_, e2)
+
+            for tv, ev in ((t0_, e0), (t1_, e1), (t2_, e2), (t3_, e3)):
+                stack_ref[sp] = ev
+                tstack_ref[sp] = tv
+                sp = sp + jnp.where(tv < _BIG, 1, 0)
+            return sp, t_best, slot, u, v, done, t_ub
+
+        def leaf_fn(args):
+            sp, t_best, slot, u, v, done, t_ub = args
+            code = (-enc - 1.0).astype(jnp.int32)
+            row_first = code // _ENC_LEAF_SHIFT
+            n_rows = code - row_first * _ENC_LEAF_SHIFT
+
+            def row_body(r, lc):
+                t_b, sl, uu, vv = lc
+                trow = tris_ref[row_first + r]
+                for k in range(TRIS_PER_ROW):
+                    tri = [trow[9 * k + j] for j in range(9)]
+                    t, u_, v_, ok = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+                    closer = ok & (t < t_b)
+                    slot_k = (row_first + r) * TRIS_PER_ROW + k
+                    t_b = jnp.where(closer, t, t_b)
+                    sl = jnp.where(closer, slot_k, sl)
+                    uu = jnp.where(closer, u_, uu)
+                    vv = jnp.where(closer, v_, vv)
+                return t_b, sl, uu, vv
+
+            t_best, slot, u, v = jax.lax.fori_loop(
+                0, n_rows, row_body, (t_best, slot, u, v))
+            if any_hit:
+                done = jnp.all((slot >= 0) | (t0 < 0.0))
+            # Refresh the scalar prune bound (t only improves in leaf sweeps).
+            pad_ub = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+            t_ub = jnp.max(t_best + pad_ub)
+            return sp, t_best, slot, u, v, done, t_ub
+
+        return jax.lax.switch(kind, [skip_fn, internal_fn, leaf_fn],
+                              (sp, t_best, slot, u, v, done, t_ub))
+
+    init = (
+        jnp.int32(1),
+        t0,
+        jnp.full(ox.shape, -1, jnp.int32),
+        jnp.zeros(ox.shape, jnp.float32),
+        jnp.zeros(ox.shape, jnp.float32),
+        jnp.bool_(False),
+        jnp.float32(_BIG),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out[1], out[2], out[3], out[4]
+
+
+def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
+                 u_ref, v_ref, stack_ref, tstack_ref,
+                 *, root_enc: float, any_hit: bool):
+    t_best, slot, u, v = _traverse4_vmem(
+        stack_ref, tstack_ref, nodes4_ref, tris_ref,
+        ox_ref[0], oy_ref[0], oz_ref[0], dx_ref[0], dy_ref[0], dz_ref[0],
+        tmax_ref[0], root_enc, any_hit=any_hit,
+    )
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u
+    v_ref[0] = v
+
+
+def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref, nodes4_ref, tris_ref, lights_ref,
+                        t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                        stack_ref, tstack_ref,
+                        *, root_enc: float, num_lights: int):
+    """Fused bounce (closest + per-point-light shadow any-hit) over the 4-wide
+    tree; same contract as pallas_bvh._bvh_bounce_kernel."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    t_best, slot, u, v = _traverse4_vmem(
+        stack_ref, tstack_ref, nodes4_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+        tmax_ref[0], root_enc, any_hit=False,
+    )
+
+    hit = slot >= 0
+    t_hit = jnp.where(hit, t_best, 0.0)
+    px = ox + dx * t_hit
+    py = oy + dy * t_hit
+    pz = oz + dz * t_hit
+
+    shadow_bits = jnp.zeros(ox.shape, jnp.int32)
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+        tx = lrow[0] - px
+        ty = lrow[1] - py
+        tz = lrow[2] - pz
+        dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        inv = 1.0 / jnp.maximum(dist, 1e-20)
+        sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+        sox = px + SHADOW_EPS * sdx
+        soy = py + SHADOW_EPS * sdy
+        soz = pz + SHADOW_EPS * sdz
+        tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+        _, slot_s, _, _ = _traverse4_vmem(
+            stack_ref, tstack_ref, nodes4_ref, tris_ref,
+            sox, soy, soz, sdx, sdy, sdz, tmax_l, root_enc, any_hit=True,
+        )
+        shadow_bits = shadow_bits | ((slot_s >= 0).astype(jnp.int32) << li)
+
+    t_ref[0] = t_best
+    slot_ref[0] = slot
+    u_ref[0] = u
+    v_ref[0] = v
+    shadow_ref[0] = shadow_bits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("root_enc", "any_hit", "interpret"))
+def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
+               any_hit=False, interpret=False):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    kernel = functools.partial(_bvh4_kernel, root_enc=root_enc, any_hit=any_hit)
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ray_spec() for _ in range(4)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.float32),
+                        pltpu.SMEM((MAX_STACK,), jnp.float32)],
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes4, tri_rows)
+
+
+def _run4(packed: PackedBVH4, origins, dirs, t_max, any_hit, interpret,
+          tile_rows: int = RAY_ROWS):
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
+    if t_max is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.broadcast_to(jax.lax.stop_gradient(t_max), (n,)).astype(jnp.float32)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
+    t, slot, u, v = _bvh4_call(rays, tm_tiles, packed.nodes4, packed.tri_rows,
+                               packed.root_enc, any_hit=any_hit,
+                               interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), flat(slot), flat(u), flat(v), n
+
+
+def intersect_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
+                          t_max=None, interpret: bool | None = None,
+                          tile_rows: int = RAY_ROWS) -> Hit:
+    """Closest-hit through the 4-wide kernel (+ jnp sphere tail)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    t, slot, u, v, n = _run4(packed, origins, dirs, t_max, False, interpret,
+                             tile_rows=tile_rows)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
+    best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return _sphere_merge(scene, origins, dirs, best)
+
+
+def occluded_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs, t_max,
+                         interpret: bool | None = None,
+                         tile_rows: int = RAY_ROWS):
+    """Any-hit through the 4-wide kernel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    from .intersect import intersect_spheres_one
+
+    t, slot, _, _, n = _run4(packed, origins, dirs, t_max, True, interpret,
+                             tile_rows=tile_rows)
+    blocked = slot >= 0
+    num_spheres = scene.spheres.radius.shape[0]
+    if num_spheres > 0:
+        tm = jnp.broadcast_to(t_max, (origins.shape[0],)).astype(jnp.float32)
+        t_s, valid_s = jax.vmap(
+            lambda c, r: intersect_spheres_one(origins, dirs, c, r),
+            in_axes=(0, 0), out_axes=(0, 0),
+        )(scene.spheres.center, scene.spheres.radius)
+        blocked = blocked | jnp.any(valid_s & (t_s < tm[None, :]), axis=0)
+    return blocked
+
+
+@functools.partial(jax.jit, static_argnames=("root_enc", "interpret"))
+def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
+                      interpret=False):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    kernel = functools.partial(_bvh4_bounce_kernel, root_enc=root_enc,
+                               num_lights=lights.shape[0])
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ray_spec() for _ in range(5)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.float32),
+                        pltpu.SMEM((MAX_STACK,), jnp.float32)],
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes4, tri_rows, lights)
+
+
+def supports_fused_bounce_bvh4(scene: Scene) -> bool:
+    from .pallas_bvh import supports_pallas_bvh
+
+    return (
+        supports_pallas_bvh(scene)
+        and scene.spheres.radius.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+    )
+
+
+def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
+                       interpret: bool | None = None,
+                       tile_rows: int = RAY_ROWS):
+    """Fused closest-hit + per-point-light shadow query over the 4-wide tree.
+    Same (Hit, shadow_bits) contract as pallas_bvh.bounce_pallas_bvh."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
+    tm = jnp.full((n,), jnp.inf, jnp.float32)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    t, slot, u, v, bits = _bvh4_bounce_call(
+        rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
+        packed.root_enc, interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
+    hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return hit, bits

@@ -39,8 +39,21 @@ import numpy as np
 from ..scene.types import Scene
 from .bvh import BVH
 from .pallas_bvh import TRIS_PER_ROW, HBMBVH, PackedBVH
+from .pallas_bvh4 import _ENC_LEAF_SHIFT, PackedBVH4
 
 _BIG = np.float32(3.4e38)
+
+
+class RefitPlan4(NamedTuple):
+    """Static topology of a 4-wide node table (ops/pallas_bvh4.py): leaf child
+    slots segment-reduce directly into their (parent, child-lane) box; internal
+    links are swept deepest-child-first."""
+
+    slot_tri: np.ndarray  # [S] i32 (-1 pad)
+    slot_seg: np.ndarray  # [S] i32: slot -> parent*4 + child lane (pad -> 4*N4)
+    levels: Tuple[Tuple[np.ndarray, np.ndarray, np.ndarray], ...]
+    # each level: (parents, child_lanes, child_node_ids), deepest child first
+    num_nodes: int
 
 
 class RefitPlan(NamedTuple):
@@ -113,6 +126,55 @@ def make_refit_plan(accel, scene: Scene) -> RefitPlan:
             levels=_levels_from_children(left, right, is_leaf),
             left=left, right=right, num_nodes=nodes.shape[0],
         )
+    if isinstance(accel, PackedBVH4):
+        nodes4 = np.asarray(accel.nodes4)
+        stp = np.asarray(accel.slot_to_prim)
+        n4 = nodes4.shape[0]
+        slot_seg = np.full(stp.shape[0], 4 * n4, np.int32)  # pad segment
+        links = []  # (parent, lane, child_node, depth)
+
+        def visit(entries):
+            # entries: list of (node_id, depth); nodes4 rows appended
+            # parent-before-child by construction, but walk explicitly for depth.
+            while entries:
+                ni, depth = entries.pop()
+                row = nodes4[ni]
+                for c in range(4):
+                    enc = row[24 + c]
+                    if np.isnan(row[6 * c]):  # empty slot
+                        continue
+                    if enc >= 0:
+                        links.append((ni, c, int(enc), depth + 1))
+                        entries.append((int(enc), depth + 1))
+                    else:
+                        code = int(-enc) - 1
+                        rf = code // _ENC_LEAF_SHIFT
+                        nr = code - rf * _ENC_LEAF_SHIFT
+                        s0 = rf * TRIS_PER_ROW
+                        slot_seg[s0:s0 + nr * TRIS_PER_ROW] = ni * 4 + c
+
+        if accel.root_enc < 0:  # leaf root: every slot reduces into a dummy
+            code = int(-accel.root_enc) - 1
+            rf = code // _ENC_LEAF_SHIFT
+            nr = code - rf * _ENC_LEAF_SHIFT
+            slot_seg[rf * TRIS_PER_ROW:(rf + nr) * TRIS_PER_ROW] = 0
+            levels = ()
+        else:
+            visit([(0, 0)])
+            if links:
+                links.sort(key=lambda x: -x[3])
+                depths = np.asarray([x[3] for x in links])
+                cuts = np.where(np.diff(depths) != 0)[0] + 1
+                groups = np.split(np.arange(len(links)), cuts)
+                levels = tuple(
+                    (np.asarray([links[i][0] for i in g], np.int32),
+                     np.asarray([links[i][1] for i in g], np.int32),
+                     np.asarray([links[i][2] for i in g], np.int32))
+                    for g in groups)
+            else:
+                levels = ()
+        return RefitPlan4(slot_tri=stp.astype(np.int32), slot_seg=slot_seg,
+                          levels=levels, num_nodes=n4)
     raise TypeError(f"no refit plan for accel type {type(accel).__name__}")
 
 
@@ -151,13 +213,15 @@ def _refit_boxes(plan: RefitPlan, p0, p1, p2, live):
     return node_lo, node_hi
 
 
-def refit_accel(accel, scene: Scene, plan: RefitPlan | None = None):
+def refit_accel(accel, scene: Scene, plan=None):
     """Return ``accel`` with AABBs + triangle tables recomputed from
     ``scene.vertices`` (jit-safe; topology unchanged).  Pass a prebuilt
     ``plan`` inside training loops — extracting it is a host-side pass."""
     if plan is None:
         plan = make_refit_plan(accel, scene)
     p0, p1, p2, live = _slot_vertices(plan, scene)
+    if isinstance(accel, PackedBVH4):
+        return _refit_bvh4(accel, plan, p0, p1, p2, live)
     node_lo, node_hi = _refit_boxes(plan, p0, p1, p2, live)
 
     if isinstance(accel, BVH):
@@ -176,3 +240,41 @@ def refit_accel(accel, scene: Scene, plan: RefitPlan | None = None):
         rows = jnp.pad(rows, ((0, tail), (0, 128 - TRIS_PER_ROW * 9)))
         return accel._replace(tri_rows=rows)
     raise TypeError(f"no refit for accel type {type(accel).__name__}")
+
+
+def _refit_bvh4(accel: PackedBVH4, plan: RefitPlan4, p0, p1, p2, live):
+    """BVH4 refit: leaf child boxes by segment reduce keyed on (parent, lane),
+    internal child boxes by a deepest-first union sweep with NaN-transparent
+    fmin/fmax (empty child slots carry NaN boxes — pallas_bvh4 docstring)."""
+    tri_lo = jnp.minimum(jnp.minimum(p0, p1), p2)
+    tri_hi = jnp.maximum(jnp.maximum(p0, p1), p2)
+    tri_lo = jnp.where(live[:, None], tri_lo, _BIG)
+    tri_hi = jnp.where(live[:, None], tri_hi, -_BIG)
+    seg = jnp.asarray(plan.slot_seg)
+    nseg = 4 * plan.num_nodes + 1
+    seg_lo = jax.ops.segment_min(tri_lo, seg, num_segments=nseg)
+    seg_hi = jax.ops.segment_max(tri_hi, seg, num_segments=nseg)
+
+    boxes = accel.nodes4[:, :24].reshape(-1, 4, 6)
+    # Leaf child lanes take their segment boxes; empty/internal lanes keep
+    # their old values for now (NaN lanes stay NaN: empty segments reduce to
+    # +/-BIG sentinels which we must NOT write back).
+    lane_lo = seg_lo[:-1].reshape(plan.num_nodes, 4, 3)
+    lane_hi = seg_hi[:-1].reshape(plan.num_nodes, 4, 3)
+    is_leaf_lane = (lane_lo[..., 0] < _BIG / 2)  # segment actually populated
+    new_lo = jnp.where(is_leaf_lane[..., None], lane_lo, boxes[..., 0:3])
+    new_hi = jnp.where(is_leaf_lane[..., None], lane_hi, boxes[..., 3:6])
+    boxes = jnp.concatenate([new_lo, new_hi], axis=-1)
+
+    for parents, lanes, childs in plan.levels:
+        crows = boxes[childs]  # [k, 4, 6]
+        glo = jnp.fmin(jnp.fmin(crows[:, 0, 0:3], crows[:, 1, 0:3]),
+                       jnp.fmin(crows[:, 2, 0:3], crows[:, 3, 0:3]))
+        ghi = jnp.fmax(jnp.fmax(crows[:, 0, 3:6], crows[:, 1, 3:6]),
+                       jnp.fmax(crows[:, 2, 3:6], crows[:, 3, 3:6]))
+        boxes = boxes.at[parents, lanes, 0:3].set(glo)
+        boxes = boxes.at[parents, lanes, 3:6].set(ghi)
+
+    nodes4 = accel.nodes4.at[:, :24].set(boxes.reshape(plan.num_nodes, 24))
+    rows = jnp.concatenate([p0, p1, p2], axis=1).reshape(-1, TRIS_PER_ROW * 9)
+    return accel._replace(nodes4=nodes4, tri_rows=rows)

@@ -27,6 +27,13 @@ class RenderConfig:
     # sample stream than the jax.random XLA path — renders with the kernel are
     # deterministic but not bitwise-equal to kernel-off renders.
     soft_shadow_kernel: str = "auto"  # 'auto' | 'on' | 'off'
+    # In-kernel BVH soft-shadow sampler layout: 'sample' = one traversal per
+    # sample over a pixel tile (pallas_bvh.py::_soft_bvh_prng_kernel); 'cone'
+    # = tile rows are pixels and tile LANES are samples, so one traversal per
+    # 128 samples serves the whole tile (all samples of a pixel share an
+    # origin and a narrow cone toward the light — main.cpp:166-218).
+    # 'auto' = measured best per scene class (scripts/tpu_soft_cone_ab.py).
+    soft_shadow_tile: str = "auto"
     # Declares that no gradients will be taken through this render: small
     # all-triangle point-light scenes then route the ENTIRE forward trace
     # (every bounce + shading) through one Pallas megakernel
@@ -87,6 +94,22 @@ class RenderConfig:
                 and num_tris > self.pallas_brute_max_tris):
             return "park"
         return "off"
+
+    # Node width for the VMEM tile-synchronous BVH kernel: '2' = binary
+    # (pallas_bvh.py), '4' = 4-wide collapsed tree (pallas_bvh4.py — one pop
+    # descends two levels: no popped-node re-slab, half the scalar-bound pops,
+    # scalar t-bound pruning).  'auto' = measured best (scripts/tpu_bvh4_ab.py).
+    bvh_wide: str = "auto"
+
+    def resolve_bvh_wide(self) -> str:
+        if self.bvh_wide not in ("auto", "2", "4"):
+            raise ValueError(
+                f"bvh_wide must be 'auto' | '2' | '4', got {self.bvh_wide!r}")
+        if self.bvh_wide != "auto":
+            return self.bvh_wide
+        # 'auto' = '2' until the TPU A/B (scripts/tpu_bvh4_ab.py) is measured;
+        # flipped here if the 4-wide kernel wins.
+        return "2"
 
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
     # 'sah' (binned surface-area heuristic — tighter boxes shrink the node
@@ -162,6 +185,17 @@ class RenderConfig:
 
             return "pallas" if num_tris <= HBM_MAX_TRIS else "bvh"
         return "brute" if num_tris <= self.brute_force_max_tris else "bvh"
+
+    def resolve_soft_shadow_tile(self) -> str:
+        if self.soft_shadow_tile not in ("auto", "sample", "cone"):
+            raise ValueError(
+                f"soft_shadow_tile must be 'auto' | 'sample' | 'cone', got "
+                f"{self.soft_shadow_tile!r}")
+        if self.soft_shadow_tile != "auto":
+            return self.soft_shadow_tile
+        # 'auto' = 'sample' until the TPU A/B (scripts/tpu_soft_cone_ab.py)
+        # is measured; flipped here if the cone layout wins.
+        return "sample"
 
     def resolve_soft_shadow_kernel(self, platform: str | None = None) -> bool:
         """Whether the in-kernel Pallas soft-shadow sampler should be used (the

@@ -1,0 +1,103 @@
+"""4-wide BVH kernel tests (ops/pallas_bvh4.py): oracle agreement vs brute,
+render equality vs the binary kernel, refit support.
+
+Capability anchor: same ordered descent as the binary kernels
+(/root/reference/src/bounding_volume_hierarchy.cpp:572-595)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cg_raytracer_tpu as cgrt
+from cg_raytracer_tpu.ops import camera as cam_ops
+from cg_raytracer_tpu.ops.intersect import intersect_brute, occluded_brute
+from cg_raytracer_tpu.ops.pallas_bvh4 import (build_packed_bvh4,
+                                              bounce_pallas_bvh4,
+                                              intersect_pallas_bvh4,
+                                              occluded_pallas_bvh4)
+
+
+@pytest.mark.parametrize("name,leaf", [("cube", 56), ("cornell_box", 4),
+                                       ("monkey", 56)])
+def test_bvh4_oracle_matches_brute(name, leaf):
+    scene = cgrt.load_scene(name)
+    _, p4 = build_packed_bvh4(scene, max_leaf=leaf)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    hb = intersect_brute(scene, o, d)
+    h4 = intersect_pallas_bvh4(scene, p4, o, d)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    t4 = np.where(np.isinf(np.asarray(h4.t)), 1e9, np.asarray(h4.t))
+    assert (~np.isclose(tb, t4, atol=1e-4, rtol=1e-5)).mean() < 0.002
+
+    rng = np.random.default_rng(0)
+    n = 512
+    ro = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    rd = rng.normal(size=(n, 3))
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd, jnp.float32)
+    tm = jnp.asarray(rng.uniform(0.5, 5.0, (n,)), jnp.float32)
+    ob = np.asarray(occluded_brute(scene, ro, rd, tm))
+    o4 = np.asarray(occluded_pallas_bvh4(scene, p4, ro, rd, tm))
+    assert (ob != o4).mean() < 0.005
+
+
+def test_bvh4_render_matches_binary_kernel():
+    # bvh_wide='4' vs '2' through the full render path (fused bounce included):
+    # same oracle contract, so images agree except coincident-t tie-breaks.
+    scene = cgrt.load_scene("monkey")
+    cam = cgrt.Camera.default()
+    cfg2 = cgrt.RenderConfig(width=48, height=48, backend="pallas",
+                             pallas_brute_max_tris=0, bvh_wide="2")
+    cfg4 = dataclasses.replace(cfg2, bvh_wide="4")
+    img2 = np.asarray(cgrt.render(scene, cam, cfg2))
+    img4 = np.asarray(cgrt.render(scene, cam, cfg4))
+    assert (np.abs(img2 - img4).max(axis=-1) > 1e-4).mean() < 0.005
+
+
+def test_bvh4_fused_bounce_contract():
+    scene = cgrt.load_scene("cornell_box")
+    _, p4 = build_packed_bvh4(scene, max_leaf=14)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 24, 24)
+    hit, bits = bounce_pallas_bvh4(scene, p4, o, d)
+    # Closest part matches brute; shadow bits match the any-hit oracle.
+    hb = intersect_brute(scene, o, d)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    t4 = np.where(np.isinf(np.asarray(hit.t)), 1e9, np.asarray(hit.t))
+    assert (~np.isclose(tb, t4, atol=1e-4, rtol=1e-5)).mean() < 0.005
+
+    from cg_raytracer_tpu.ops.shading import SHADOW_EPS
+    from cg_raytracer_tpu.ops.linalg import safe_normalize, norm
+
+    valid = np.asarray(hit.prim_id) >= 0
+    t_hit = jnp.where(jnp.asarray(valid), hit.t, 0.0)
+    pos = o + d * t_hit[:, None]
+    lpos = scene.point_lights.position[0]
+    to_l = lpos[None] - pos
+    ldir = safe_normalize(to_l)
+    dist = norm(to_l)
+    blocked = occluded_brute(scene, pos + SHADOW_EPS * ldir, ldir,
+                             dist - SHADOW_EPS)
+    got = (np.asarray(bits) & 1) > 0
+    agree = (got == np.asarray(blocked)) | ~valid
+    assert agree.mean() > 0.99
+
+
+def test_bvh4_refit_matches_brute_on_moved_geometry():
+    from cg_raytracer_tpu.ops.refit import make_refit_plan, refit_accel
+
+    scene = cgrt.load_scene("monkey")
+    _, p4 = build_packed_bvh4(scene, max_leaf=56)
+    plan = make_refit_plan(p4, scene)
+    rng = np.random.default_rng(0)
+    v2 = np.asarray(scene.vertices) + rng.normal(
+        scale=0.05, size=scene.vertices.shape).astype(np.float32)
+    scene2 = dataclasses.replace(scene, vertices=jnp.asarray(v2))
+    p4b = jax.jit(lambda s: refit_accel(p4, s, plan))(scene2)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    hb = intersect_brute(scene2, o, d)
+    h4 = intersect_pallas_bvh4(scene2, p4b, o, d)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    t4 = np.where(np.isinf(np.asarray(h4.t)), 1e9, np.asarray(h4.t))
+    assert (~np.isclose(tb, t4, atol=1e-4, rtol=1e-5)).mean() < 0.002

@@ -74,6 +74,34 @@ def test_bvh_sampler_matches_xla_sweep(monkey_sl, tile_rows):
     assert counts[valid].min() < num_samples
 
 
+@pytest.mark.parametrize("sample_rows,num_samples", [(None, 12), (16, 40)])
+def test_cone_sampler_matches_per_sample_kernel(monkey_sl, sample_rows,
+                                                num_samples):
+    """The cone-coherent layout (lanes = pixels, rows = samples) must produce
+    IDENTICAL counts to the per-sample kernel given the same Gaussian table —
+    pure regrouping of the same shadow rays (multi-pass case included:
+    40 samples = 3 passes of 16 rows with a masked tail)."""
+    from cg_raytracer_tpu.ops.pallas_bvh import \
+        soft_shadow_counts_pallas_bvh_cone
+
+    scene = monkey_sl
+    _, packed = build_packed_bvh(scene)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 12, 12)
+    surf = reconstruct_hit(scene, o, d, intersect_brute(scene, o, d))
+    key = jax.random.PRNGKey(5)
+    gauss = jax.random.normal(key, (num_samples, o.shape[0], 3), jnp.float32)
+    lpos = scene.spherical_lights.position[0]
+    lrad = scene.spherical_lights.radius[0]
+    ref = np.asarray(soft_shadow_counts_pallas_bvh(
+        scene, packed, surf.position, lpos, lrad, key, num_samples,
+        interpret=True, gauss=gauss))
+    cone = np.asarray(soft_shadow_counts_pallas_bvh_cone(
+        scene, packed, surf.position, lpos, lrad, key, num_samples,
+        interpret=True, gauss=gauss, sample_rows=sample_rows))
+    np.testing.assert_array_equal(cone, ref)
+
+
 def test_bvh_sampler_gauss_mismatch_raises(monkey_sl):
     _, packed = build_packed_bvh(monkey_sl)
     lpos = monkey_sl.spherical_lights.position[0]
