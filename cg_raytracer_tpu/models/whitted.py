@@ -100,7 +100,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
 
             bounce = None
             if supports_fused_bounce(scene):
-                bounce = lambda o, d: bounce_pallas(scene, o, d)
+                bounce = lambda o, d, live=None: bounce_pallas(scene, o, d,
+                                                               live=live)
             trace = None
             if cfg.forward_only and supports_trace_kernel(scene):
                 trace = lambda o, d: trace_pallas(
@@ -149,8 +150,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         def _hbm_backend(hbm):
             bounce = None
             if supports_fused_bounce_bvh_hbm(scene):
-                bounce = lambda o, d: bounce_pallas_bvh_hbm(scene, hbm, o, d,
-                                                            tile_rows=rows)
+                bounce = lambda o, d, live=None: bounce_pallas_bvh_hbm(
+                    scene, hbm, o, d, tile_rows=rows, live=live)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh_hbm(
                     scene, hbm, o, d, tile_rows=rows),
@@ -186,8 +187,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             packed4 = bvh
             bounce = None
             if supports_fused_bounce_bvh4(scene):
-                bounce = lambda o, d: bounce_pallas_bvh4(scene, packed4, o, d,
-                                                         tile_rows=rows)
+                bounce = lambda o, d, live=None: bounce_pallas_bvh4(
+                    scene, packed4, o, d, tile_rows=rows, live=live)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4(
                     scene, packed4, o, d, tile_rows=rows),
@@ -204,8 +205,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             packed = bvh
             bounce = None
             if supports_fused_bounce_bvh(scene):
-                bounce = lambda o, d: bounce_pallas_bvh(scene, packed, o, d,
-                                                        tile_rows=rows)
+                bounce = lambda o, d, live=None: bounce_pallas_bvh(
+                    scene, packed, o, d, tile_rows=rows, live=live)
             soft_vis = None
             use_soft_kernel = cfg.resolve_soft_shadow_kernel()
             if use_soft_kernel and jax.default_backend() != "tpu":
@@ -293,7 +294,7 @@ def _resorted_query(backend: Backend, o, d, active, lo, hi, mode):
     d = jnp.where(active[:, None], d, jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
     if mode == "park":
         if backend.bounce is not None:
-            return backend.bounce(o, d)
+            return backend.bounce(o, d, live=active)
         return backend.closest(o, d), None
     keys = _bounce_sort_keys(o, d, lo, hi, active, mode)
     p = jnp.argsort(keys)
@@ -301,7 +302,7 @@ def _resorted_query(backend: Backend, o, d, active, lo, hi, mode):
     inv = jnp.zeros((n,), jnp.int32).at[p].set(jnp.arange(n, dtype=jnp.int32))
     o_s, d_s = o[p], d[p]
     if backend.bounce is not None:
-        hit, bits = backend.bounce(o_s, d_s)
+        hit, bits = backend.bounce(o_s, d_s, live=active[p])
         return jax.tree_util.tree_map(lambda x: x[inv], hit), bits[inv]
     hit = backend.closest(o_s, d_s)
     return jax.tree_util.tree_map(lambda x: x[inv], hit), None
@@ -337,6 +338,31 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         verts = jax.lax.stop_gradient(scene.vertices)
         scene_lo, scene_hi = jnp.min(verts, axis=0), jnp.max(verts, axis=0)
 
+    # Remat eligibility: the backward may only recompute the shade when that
+    # recompute is pure XLA math from recorded oracle outputs — i.e. the
+    # fused-bounce path (shadow bits recorded) with no stochastic
+    # spherical-light sampling to re-run.
+    remat_ok = (cfg.resolve_remat_shade()
+                and backend.bounce is not None
+                and scene.spherical_lights.position.shape[0] == 0)
+
+    def shade_level(scene_, o_, d_, hit_, bits_, lkey_):
+        surf_ = reconstruct_hit(scene_, o_, d_, hit_)
+        direct_ = shading.direct_light(
+            scene_, d_, surf_, backend.occluded, lkey_,
+            soft_shadow_samples=cfg.soft_shadow_samples,
+            sample_chunk=cfg.soft_shadow_chunk,
+            shadow_bits=bits_,
+            sample_constrain=sample_constrain,
+            # Sample-axis sharding owns the sample stream; the in-kernel
+            # sampler yields to it.
+            soft_vis_fn=None if sample_constrain is not None else backend.soft_vis,
+        )
+        return direct_, surf_.valid, surf_.ks, surf_.normal, surf_.position
+
+    if remat_ok:
+        shade_level = jax.checkpoint(shade_level)
+
     o, d = origins, dirs
     for level in range(cfg.max_depth):
         shadow_bits = None
@@ -344,35 +370,27 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
             hit, shadow_bits = _resorted_query(backend, o, d, active,
                                                scene_lo, scene_hi, resort)
         elif backend.bounce is not None:
-            hit, shadow_bits = backend.bounce(o, d)
+            hit, shadow_bits = backend.bounce(
+                o, d, live=active if level > 0 else None)
         else:
             hit = backend.closest(o, d)
-        surf = reconstruct_hit(scene, o, d, hit)
         lkey = jax.random.fold_in(key, level)
-        direct = shading.direct_light(
-            scene, d, surf, backend.occluded, lkey,
-            soft_shadow_samples=cfg.soft_shadow_samples,
-            sample_chunk=cfg.soft_shadow_chunk,
-            shadow_bits=shadow_bits,
-            sample_constrain=sample_constrain,
-            # Sample-axis sharding owns the sample stream; the in-kernel
-            # sampler yields to it.
-            soft_vis_fn=None if sample_constrain is not None else backend.soft_vis,
-        )
-        lit = active & surf.valid
+        direct, valid, ks, normal, position = shade_level(
+            scene, o, d, hit, shadow_bits, lkey)
+        lit = active & valid
         color = color + throughput * direct * lit[..., None].astype(jnp.float32)
 
         if level + 1 >= cfg.max_depth:
             break
         if cfg.reference_quirks:
             # Comma-operator bug: only ks.z is tested (main.cpp:246).
-            reflective = surf.ks[..., 2] > 0.01
+            reflective = ks[..., 2] > 0.01
         else:
-            reflective = jnp.any(surf.ks > 0.01, axis=-1)
+            reflective = jnp.any(ks > 0.01, axis=-1)
         active = lit & reflective
-        throughput = throughput * surf.ks
-        refl_dir = safe_normalize(reflect(d, surf.normal))
-        o = surf.position + REFLECT_EPS * refl_dir
+        throughput = throughput * ks
+        refl_dir = safe_normalize(reflect(d, normal))
+        o = position + REFLECT_EPS * refl_dir
         d = jnp.where(active[..., None], refl_dir, d)
 
     return color

@@ -473,12 +473,13 @@ def supports_fused_bounce_bvh(scene: Scene) -> bool:
 
 def bounce_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
                       interpret: bool | None = None,
-                      tile_rows: int = RAY_ROWS):
+                      tile_rows: int = RAY_ROWS, live=None):
     """Fused closest-hit + per-point-light shadow query through the BVH.
 
     Returns (Hit, shadow_bits [N] int32), the same contract as the brute
     ``bounce_pallas`` (pallas_kernels.py) — one kernel instead of
     1 + num_lights dispatches, and no [N]-ray HBM round trips between them.
+    ``live`` marks deactivated bounce rays dead (t_max < 0) like padding.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -487,7 +488,10 @@ def bounce_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
     rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
     # Padding rays carry t_max < 0: the slab test rejects them everywhere, so
     # they add no traversal work and are exempt from the any-hit early exit.
-    tm = jnp.full((n,), jnp.inf, jnp.float32)
+    if live is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)
@@ -922,7 +926,7 @@ def supports_fused_bounce_bvh_hbm(scene: Scene) -> bool:
 
 def bounce_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
                           interpret: bool | None = None,
-                          tile_rows: int = RAY_ROWS):
+                          tile_rows: int = RAY_ROWS, live=None):
     """Fused closest-hit + per-point-light shadow query, HBM-streaming variant.
     Same (Hit, shadow_bits) contract as ``bounce_pallas_bvh``."""
     if interpret is None:
@@ -930,7 +934,10 @@ def bounce_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
-    tm = jnp.full((n,), jnp.inf, jnp.float32)
+    if live is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)

@@ -477,7 +477,7 @@ def supports_fused_bounce_bvh4(scene: Scene) -> bool:
 
 def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
                        interpret: bool | None = None,
-                       tile_rows: int = RAY_ROWS):
+                       tile_rows: int = RAY_ROWS, live=None):
     """Fused closest-hit + per-point-light shadow query over the 4-wide tree.
     Same (Hit, shadow_bits) contract as pallas_bvh.bounce_pallas_bvh."""
     if interpret is None:
@@ -485,7 +485,10 @@ def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
-    tm = jnp.full((n,), jnp.inf, jnp.float32)
+    if live is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)

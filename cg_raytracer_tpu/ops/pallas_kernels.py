@@ -177,50 +177,70 @@ def _bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     avoids two extra kernel dispatches and the [N]-ray HBM round trips between
     them.  Shadow results are packed as bits of one int32 tile (bit l = light l
     occluded).  Small scenes only (triangle loop fully unrolled).
+
+    Dead-tile early-exit: rays carry t_max < 0 when deactivated (missed or
+    non-reflective at the previous bounce — only ~2% of 1024^2 Cornell pixels
+    stay active at level 1).  A tile whose every ray is dead skips all sweeps
+    and reports misses, which the caller's ``lit = active & valid`` gate
+    discards anyway.
     """
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax0 = tmax_ref[0]
 
-    # --- closest-hit sweep (same as _closest_kernel_entry) ---
-    t_best = tmax_ref[0]
-    slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
-    u_best = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
-    v_best = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
-    for ti in range(num_tris):
-        tri = tris_ref[ti]
-        t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
-        closer = valid & (t < t_best)
-        t_best = jnp.where(closer, t, t_best)
-        slot = jnp.where(closer, ti, slot)
-        u_best = jnp.where(closer, u, u_best)
-        v_best = jnp.where(closer, v, v_best)
-
-    hit = slot >= 0
-    t_hit = jnp.where(hit, t_best, 0.0)
-    px = ox + dx * t_hit
-    py = oy + dy * t_hit
-    pz = oz + dz * t_hit
-
-    # --- per-light shadow sweeps (pointInShadow semantics, main.cpp:104-135) ---
-    shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
-    for li in range(num_lights):
-        lrow = lights_ref[li]
-        tx = lrow[0] - px
-        ty = lrow[1] - py
-        tz = lrow[2] - pz
-        dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
-        inv = 1.0 / jnp.maximum(dist, 1e-20)
-        sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
-        sox = px + SHADOW_EPS * sdx
-        soy = py + SHADOW_EPS * sdy
-        soz = pz + SHADOW_EPS * sdz
-        tmax_l = dist - SHADOW_EPS
-        blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+    def sweep(_):
+        # --- closest-hit sweep (same as _closest_kernel_entry) ---
+        t_best = tmax0
+        slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
+        u_best = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
+        v_best = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
         for ti in range(num_tris):
             tri = tris_ref[ti]
-            t2, _, _, ok = _mt_tile(sox, soy, soz, sdx, sdy, sdz, tri)
-            blocked = jnp.maximum(blocked, (ok & (t2 < tmax_l)).astype(jnp.int32))
-        shadow_bits = shadow_bits | (blocked << li)
+            t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+            closer = valid & (t < t_best)
+            t_best = jnp.where(closer, t, t_best)
+            slot = jnp.where(closer, ti, slot)
+            u_best = jnp.where(closer, u, u_best)
+            v_best = jnp.where(closer, v, v_best)
+
+        hit = slot >= 0
+        t_hit = jnp.where(hit, t_best, 0.0)
+        px = ox + dx * t_hit
+        py = oy + dy * t_hit
+        pz = oz + dz * t_hit
+
+        # --- per-light shadow sweeps (pointInShadow, main.cpp:104-135) ---
+        shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+        for li in range(num_lights):
+            lrow = lights_ref[li]
+            tx = lrow[0] - px
+            ty = lrow[1] - py
+            tz = lrow[2] - pz
+            dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+            inv = 1.0 / jnp.maximum(dist, 1e-20)
+            sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+            sox = px + SHADOW_EPS * sdx
+            soy = py + SHADOW_EPS * sdy
+            soz = pz + SHADOW_EPS * sdz
+            tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+            blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+            for ti in range(num_tris):
+                tri = tris_ref[ti]
+                t2, _, _, ok = _mt_tile(sox, soy, soz, sdx, sdy, sdz, tri)
+                blocked = jnp.maximum(blocked,
+                                      (ok & (t2 < tmax_l)).astype(jnp.int32))
+            shadow_bits = shadow_bits | (blocked << li)
+        return t_best, slot, u_best, v_best, shadow_bits
+
+    def dead(_):
+        return (tmax0,
+                jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
+                jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+                jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32),
+                jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32))
+
+    t_best, slot, u_best, v_best, shadow_bits = jax.lax.cond(
+        jnp.max(tmax0) >= 0.0, sweep, dead, 0)
 
     t_ref[0] = t_best
     slot_ref[0] = slot
@@ -675,16 +695,11 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     kd (3), ks (3), shininess (1).  lights_ref rows ([L, 6]): position (3),
     color (3).  Sphere hits take slot num_tris + si (prim-id convention,
     ops/intersect.py)."""
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-
     zeros = lambda: jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
-    cr, cg, cb = zeros(), zeros(), zeros()
-    tpr = jnp.ones((RAY_ROWS, RAY_COLS), jnp.float32)
-    tpg, tpb = tpr, tpr
-    active = jnp.ones((RAY_ROWS, RAY_COLS), jnp.int32)
 
-    for level in range(max_depth):
+    def level_body(level, state):
+        (cr, cg, cb, tpr, tpg, tpb, active,
+         ox, oy, oz, dx, dy, dz) = state
         # --- closest-hit sweep: triangles, then spheres (prim-id T + si) ---
         t_best = jnp.full((RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
         slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
@@ -822,10 +837,28 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             dx = jnp.where(af, rx, dx)
             dy = jnp.where(af, ry, dy)
             dz = jnp.where(af, rz, dz)
+        return (cr, cg, cb, tpr, tpg, tpb, active,
+                ox, oy, oz, dx, dy, dz)
 
-    r_ref[0] = cr
-    g_ref[0] = cg
-    b_ref[0] = cb
+    ones = jnp.ones((RAY_ROWS, RAY_COLS), jnp.float32)
+    state = (zeros(), zeros(), zeros(), ones, ones, ones,
+             jnp.ones((RAY_ROWS, RAY_COLS), jnp.int32),
+             ox_ref[0], oy_ref[0], oz_ref[0],
+             dx_ref[0], dy_ref[0], dz_ref[0])
+    for level in range(max_depth):
+        if level == 0:
+            state = level_body(level, state)
+        else:
+            # Dead-tile early-exit: skip the whole bounce when no ray in the
+            # tile survived the previous level's reflection test (~98% of
+            # tiles at the Cornell-mirror headline's level 1).
+            state = jax.lax.cond(
+                jnp.max(state[6]) > 0,
+                functools.partial(level_body, level), lambda s: s, state)
+
+    r_ref[0] = state[0]
+    g_ref[0] = state[1]
+    b_ref[0] = state[2]
 
 
 @functools.partial(jax.jit,
@@ -972,19 +1005,29 @@ def supports_fused_bounce(scene: Scene, max_tris: int = UNROLL_MAX_TRIS) -> bool
     )
 
 
-def bounce_pallas(scene: Scene, origins, dirs, interpret: bool | None = None):
+def bounce_pallas(scene: Scene, origins, dirs, interpret: bool | None = None,
+                  live=None):
     """Fused closest-hit + point-light shadow query.
 
     Returns (Hit, shadow_bits [N] int32) where bit l of shadow_bits marks light l
     occluded from the hit point (pointInShadow, main.cpp:104-135).  Bits are only
     meaningful where the ray hit (callers mask by surf.valid).
+
+    ``live`` ([N] bool, optional): rays marked dead carry t_max < 0, so tiles
+    made entirely of them skip every sweep (dead-tile early-exit) — the
+    bounce-loop caller passes its ``active`` mask for levels >= 1.
     """
     if interpret is None:
         interpret = _default_interpret()
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays6, n, g = _pack_rays(origins, dirs)
-    tm_tiles = jnp.full((g, RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
+    if live is None:
+        tm_tiles = jnp.full((g, RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
+        tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+        tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)
     t, slot, u, v, bits = _bounce_call(rays6, tm_tiles, _tri_table(scene), lights,
                                        interpret=interpret)

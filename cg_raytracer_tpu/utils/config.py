@@ -27,6 +27,13 @@ class RenderConfig:
     # sample stream than the jax.random XLA path — renders with the kernel are
     # deterministic but not bitwise-equal to kernel-off renders.
     soft_shadow_kernel: str = "auto"  # 'auto' | 'on' | 'off'
+    # Rematerialize the per-level reconstruct+shade in the backward pass:
+    # instead of storing ~40 f32/ray of surface residuals per bounce, the VJP
+    # recomputes them from the (tiny) recorded oracle outputs (hit ids +
+    # shadow bits).  Only applies on the fused-bounce path with point lights
+    # (spherical-light sampling must not re-run in the backward).  'auto' =
+    # measured best (scripts/tpu_r3_sweep.py bwd_probe).
+    remat_shade: str = "auto"
     # In-kernel BVH soft-shadow sampler layout: 'sample' = one traversal per
     # sample over a pixel tile (pallas_bvh.py::_soft_bvh_prng_kernel); 'cone'
     # = tile rows are pixels and tile LANES are samples, so one traversal per
@@ -107,9 +114,10 @@ class RenderConfig:
                 f"bvh_wide must be 'auto' | '2' | '4', got {self.bvh_wide!r}")
         if self.bvh_wide != "auto":
             return self.bvh_wide
-        # 'auto' = '2' until the TPU A/B (scripts/tpu_bvh4_ab.py) is measured;
-        # flipped here if the 4-wide kernel wins.
-        return "2"
+        # Measured on v5e (scripts/tpu_r3_sweep.py bvh4_ab, r3_results.jsonl):
+        # the 4-wide kernel wins every VMEM BVH scene — teacup 101.6 -> 93.3,
+        # dragon 54.8 -> 50.9, monkey 40.6 -> 39.7 ms (800^2 fwd steady).
+        return "4"
 
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
     # 'sah' (binned surface-area heuristic — tighter boxes shrink the node
@@ -127,6 +135,16 @@ class RenderConfig:
                 f"{self.bvh_builder!r}")
         if self.bvh_builder != "auto":
             return self.bvh_builder
+        # Measured on v5e (scripts/tpu_r3_sweep.py sah_ab, r3_results.jsonl):
+        # SAH's tighter boxes shrink the tile-union through the VMEM
+        # tile-synchronous kernels (teacup 101 -> 96, dragon 55 -> 51 ms) but
+        # LOSE on the HBM-streaming scene (donut 108 -> 111 — wider depth-
+        # capped leaves blunt the advantage); jnp/brute paths are insensitive.
+        from ..ops.pallas_bvh import VMEM_MAX_TRIS
+
+        if (self.resolve_backend(num_tris, platform) == "pallas"
+                and self.pallas_brute_max_tris < num_tris <= VMEM_MAX_TRIS):
+            return "sah"
         return "median"
 
     def resolve_pallas_bvh_max_leaf(self) -> int:
@@ -185,6 +203,17 @@ class RenderConfig:
 
             return "pallas" if num_tris <= HBM_MAX_TRIS else "bvh"
         return "brute" if num_tris <= self.brute_force_max_tris else "bvh"
+
+    def resolve_remat_shade(self) -> bool:
+        if self.remat_shade not in ("auto", "on", "off"):
+            raise ValueError(
+                f"remat_shade must be 'auto' | 'on' | 'off', got "
+                f"{self.remat_shade!r}")
+        if self.remat_shade != "auto":
+            return self.remat_shade == "on"
+        # 'auto' = off until the TPU probe (scripts/tpu_r3_sweep.py bwd_probe)
+        # shows the recompute beating the residual traffic.
+        return False
 
     def resolve_soft_shadow_tile(self) -> str:
         if self.soft_shadow_tile not in ("auto", "sample", "cone"):

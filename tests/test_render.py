@@ -159,3 +159,46 @@ def test_table2_custom_presets(scenes):
 # Golden regression moved to tests/test_golden_images.py: full [H,W,3]
 # per-pixel pins (default + reference_quirks + effects) replace the round-1
 # scalar mean-brightness checks.
+
+
+def test_remat_shade_matches_values_and_grads():
+    """remat_shade='on' recomputes the per-level shade in the backward pass —
+    values and gradients must match the default path exactly (same math,
+    different residual policy)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import cg_raytracer_tpu as cgrt
+    from cg_raytracer_tpu.models.whitted import render_image, make_backend
+    from cg_raytracer_tpu.optim.inverse import (apply_material_params,
+                                                material_params)
+
+    scene = cgrt.load_scene("cornell_box")
+    cam = cgrt.Camera.default()
+    base = cgrt.RenderConfig(width=24, height=24, backend="pallas")
+    params = material_params(scene)
+
+    def loss(cfg):
+        def f(p):
+            s = apply_material_params(scene, p)
+            be = make_backend(s, cfg)
+            return jnp.mean(render_image(s, cam, cfg, backend=be,
+                                         key=jax.random.PRNGKey(0)))
+        return f
+
+    for remat in ("off", "on"):
+        cfg = dataclasses.replace(base, remat_shade=remat)
+        be = make_backend(scene, cfg)
+        assert be.bounce is not None  # the remat-eligible path
+    v_off, g_off = jax.value_and_grad(loss(dataclasses.replace(
+        base, remat_shade="off")))(params)
+    v_on, g_on = jax.value_and_grad(loss(dataclasses.replace(
+        base, remat_shade="on")))(params)
+    assert float(v_off) == float(v_on)
+    for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
+        import numpy as np
+
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
