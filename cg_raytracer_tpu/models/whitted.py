@@ -175,9 +175,12 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         if (use_wide and scene.spherical_lights.position.shape[0] > 0
                 and cfg.resolve_soft_shadow_kernel()
                 and supports_soft_shadow_kernel_bvh(scene)
+                and cfg.resolve_soft_shadow_tile() != "cone"
                 and not isinstance(bvh, PackedBVH4)):
-            # The in-kernel soft-shadow sampler runs on the binary tree; keep
-            # the whole backend binary rather than carrying both node tables.
+            # The per-SAMPLE soft-shadow sampler runs only on the binary tree;
+            # keep the whole backend binary rather than carrying both node
+            # tables.  The cone sampler has a 4-wide variant
+            # (soft_shadow_counts_pallas_bvh4_cone), so 'cone' stays wide.
             use_wide = False
         if use_wide and supports_pallas_bvh(scene):
             if not isinstance(bvh, PackedBVH4):
@@ -185,16 +188,41 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                     scene, max_leaf=cfg.resolve_pallas_bvh_max_leaf(),
                     builder=cfg.resolve_bvh_builder(scene.num_triangles))
             packed4 = bvh
+            il = cfg.resolve_bvh_interleave()
             bounce = None
             if supports_fused_bounce_bvh4(scene):
                 bounce = lambda o, d, live=None: bounce_pallas_bvh4(
-                    scene, packed4, o, d, tile_rows=rows, live=live)
+                    scene, packed4, o, d, tile_rows=rows, live=live,
+                    interleave=il)
+            soft_vis = None
+            use_soft_kernel = cfg.resolve_soft_shadow_kernel()
+            if use_soft_kernel and jax.default_backend() != "tpu":
+                # PRNG sampler has no CPU interpretation (same fallback as the
+                # binary branch below).
+                import warnings
+
+                warnings.warn(
+                    "soft_shadow_kernel='on' requires a TPU backend; falling "
+                    "back to the XLA soft-shadow scan",
+                    stacklevel=2,
+                )
+                use_soft_kernel = False
+            if (use_soft_kernel and supports_soft_shadow_kernel_bvh(scene)
+                    and cfg.resolve_soft_shadow_tile() == "cone"):
+                from ..ops.pallas_bvh4 import \
+                    soft_shadow_counts_pallas_bvh4_cone
+
+                ns = cfg.soft_shadow_samples
+                soft_vis = (lambda lpos, lrad, pos, k:
+                            soft_shadow_counts_pallas_bvh4_cone(
+                                scene, packed4, pos, lpos, lrad, k, ns))
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4(
-                    scene, packed4, o, d, tile_rows=rows),
+                    scene, packed4, o, d, tile_rows=rows, interleave=il),
                 occluded=lambda o, d, tm: occluded_pallas_bvh4(
-                    scene, packed4, o, d, tm, tile_rows=rows),
+                    scene, packed4, o, d, tm, tile_rows=rows, interleave=il),
                 bounce=bounce,
+                soft_vis=soft_vis,
             )
         if supports_pallas_bvh(scene):
             if not isinstance(bvh, PackedBVH):

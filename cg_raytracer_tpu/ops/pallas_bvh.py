@@ -1221,6 +1221,41 @@ def _soft_bvh_cone_table_call(pix4, light_row, gauss, nodes, tri_rows,
     )(gauss, *pix4, nodes, tri_rows, light_row)
 
 
+def _cone_pack_pixels(positions):
+    """[N,3] hit positions -> ((px,py,pz,vmask) [G,8,128] tiles, n, g, pad):
+    the cone samplers' pixel layout (row 0 meaningful, 128-lane aligned)."""
+    n = positions.shape[0]
+    pad = (-n) % RAY_COLS
+    p = jnp.pad(positions, ((0, pad), (0, 0)))
+    g = (n + pad) // RAY_COLS
+
+    def pix(comp):
+        r = comp.reshape(g, 1, RAY_COLS)
+        return jnp.pad(r, ((0, 0), (0, 7), (0, 0)))
+
+    pix4 = (pix(p[:, 0]), pix(p[:, 1]), pix(p[:, 2]),
+            pix(jnp.pad(jnp.ones((n,), jnp.int32), (0, pad))))
+    return pix4, n, g, pad
+
+
+def _cone_pack_gauss(gauss, num_samples, sample_rows, g, pad):
+    """[S,N,3] precomputed Gaussians -> [G, passes, 3, rows, 128] table:
+    sample p*rows + r of pixel g*128 + l lands at [g, p, :, r, l]."""
+    passes = -(-num_samples // sample_rows)
+    gp = jnp.pad(gauss, ((0, passes * sample_rows - num_samples),
+                         (0, pad), (0, 0)))
+    gp = gp.reshape(passes, sample_rows, g, RAY_COLS, 3)
+    return jnp.transpose(gp, (2, 0, 4, 1, 3))
+
+
+def _cone_light_row(light_pos, light_radius):
+    light_row = jnp.concatenate(
+        [jnp.asarray(light_pos, jnp.float32).reshape(3),
+         jnp.asarray(light_radius, jnp.float32).reshape(1)]
+    )[None, :]
+    return jax.lax.stop_gradient(light_row)
+
+
 def soft_shadow_counts_pallas_bvh_cone(scene: Scene, packed: PackedBVH,
                                        positions, light_pos, light_radius,
                                        key, num_samples: int,
@@ -1236,22 +1271,8 @@ def soft_shadow_counts_pallas_bvh_cone(scene: Scene, packed: PackedBVH,
     if sample_rows is None:
         sample_rows = -(-num_samples // 8) * 8
     positions = jax.lax.stop_gradient(positions)
-    n = positions.shape[0]
-    pad = (-n) % RAY_COLS
-    p = jnp.pad(positions, ((0, pad), (0, 0)))
-    g = (n + pad) // RAY_COLS
-
-    def pix(comp):
-        r = comp.reshape(g, 1, RAY_COLS)
-        return jnp.pad(r, ((0, 0), (0, 7), (0, 0)))
-
-    pix4 = (pix(p[:, 0]), pix(p[:, 1]), pix(p[:, 2]),
-            pix(jnp.pad(jnp.ones((n,), jnp.int32), (0, pad))))
-    light_row = jnp.concatenate(
-        [jnp.asarray(light_pos, jnp.float32).reshape(3),
-         jnp.asarray(light_radius, jnp.float32).reshape(1)]
-    )[None, :]
-    light_row = jax.lax.stop_gradient(light_row)
+    pix4, n, g, pad = _cone_pack_pixels(positions)
+    light_row = _cone_light_row(light_pos, light_radius)
 
     if gauss is None:
         if interpret:
@@ -1267,13 +1288,7 @@ def soft_shadow_counts_pallas_bvh_cone(scene: Scene, packed: PackedBVH,
             raise ValueError(
                 f"gauss has {gauss.shape[0]} samples along axis 0 but "
                 f"num_samples={num_samples}; they must match")
-        passes = -(-num_samples // sample_rows)
-        # [S, N, 3] -> [G, passes, 3, rows, 128]: sample p*rows + r of pixel
-        # g*128 + l at [g, p, :, r, l].
-        gp = jnp.pad(gauss, ((0, passes * sample_rows - num_samples),
-                             (0, pad), (0, 0)))
-        gp = gp.reshape(passes, sample_rows, g, RAY_COLS, 3)
-        gp = jnp.transpose(gp, (2, 0, 4, 1, 3))
+        gp = _cone_pack_gauss(gauss, num_samples, sample_rows, g, pad)
         cnt = _soft_bvh_cone_table_call(pix4, light_row, gp,
                                         packed.nodes, packed.tri_rows,
                                         num_samples, sample_rows,

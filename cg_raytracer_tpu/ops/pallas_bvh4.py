@@ -48,9 +48,9 @@ from ..scene.types import Scene
 from .bvh import _SLAB_EPS, build_bvh
 from .intersect import MISS, Hit
 from .pallas_bvh import (MAX_STACK, TRIS_PER_ROW, PackedBVH, _default_interpret,
-                         _sphere_merge, pack_bvh_rows)
+                         _soft_sample_ray, _sphere_merge, pack_bvh_rows)
 from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, SHADOW_EPS,
-                             _mt_tile, _pack_rays)
+                             _gauss3_from_bits, _mt_tile, _pack_rays)
 
 _BIG = 3.4e38
 _ENC_LEAF_SHIFT = 64  # n_rows packs into the low 6 bits of the leaf encoding
@@ -185,12 +185,118 @@ def _slab4(ox, oy, oz, ix, iy, iz, row, c):
     return tin, hit
 
 
+def _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, state,
+               any_hit: bool):
+    """One guarded pop of one tile's 4-wide traversal.
+
+    ``rv`` = (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0) ray-tile vectors;
+    ``state`` = (sp, t_best, slot, u, v, done, t_ub).  Shared by the
+    single-stack loop and the interleaved dual-stack loop: an exhausted or
+    finished stack takes the scalar-only skip branch with ``sp`` unchanged,
+    so interleaving imbalanced tiles costs only dead scalar pops."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, t0 = rv
+    sp, t_best, slot, u, v, done, t_ub = state
+    live = (sp > 0) & jnp.logical_not(done)
+    spm = jnp.maximum(sp - 1, 0)
+    enc = stack_ref[spm]
+    tin_pushed = tstack_ref[spm]
+    sp = jnp.where(live, spm, sp)
+
+    # 0 = no-op (stack empty / tile done / stale entry: pushed entry t already
+    # beyond the tile's best), 1 = internal node, 2 = leaf sweep.
+    kind = jnp.where(jnp.logical_not(live) | (tin_pushed > t_ub), 0,
+                     jnp.where(enc >= 0, 1, 2))
+
+    def skip_fn(args):
+        return args
+
+    def internal_fn(args):
+        sp, t_best, slot, u, v, done, t_ub = args
+        row = nodes4_ref[enc.astype(jnp.int32)]
+        tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+        bound = t_best + tpad
+        tins = []
+        for ci in range(4):
+            tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
+            hit = hit & (tin <= bound)
+            tins.append(jnp.min(jnp.where(hit, tin, _BIG)))
+        e0, e1, e2, e3 = row[24], row[25], row[26], row[27]
+        t0_, t1_, t2_, t3_ = tins
+
+        # 4-element sorting network on (tin, enc) pairs, DESCENDING tin,
+        # so the nearest child is pushed last (popped first).
+        def cswap(ta, ea, tb, eb):
+            sw = ta < tb
+            return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
+                    jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
+
+        t0_, e0, t1_, e1 = cswap(t0_, e0, t1_, e1)
+        t2_, e2, t3_, e3 = cswap(t2_, e2, t3_, e3)
+        t0_, e0, t2_, e2 = cswap(t0_, e0, t2_, e2)
+        t1_, e1, t3_, e3 = cswap(t1_, e1, t3_, e3)
+        t1_, e1, t2_, e2 = cswap(t1_, e1, t2_, e2)
+
+        for tv, ev in ((t0_, e0), (t1_, e1), (t2_, e2), (t3_, e3)):
+            stack_ref[sp] = ev
+            tstack_ref[sp] = tv
+            sp = sp + jnp.where(tv < _BIG, 1, 0)
+        return sp, t_best, slot, u, v, done, t_ub
+
+    def leaf_fn(args):
+        sp, t_best, slot, u, v, done, t_ub = args
+        code = (-enc - 1.0).astype(jnp.int32)
+        row_first = code // _ENC_LEAF_SHIFT
+        n_rows = code - row_first * _ENC_LEAF_SHIFT
+
+        def row_body(r, lc):
+            t_b, sl, uu, vv = lc
+            trow = tris_ref[row_first + r]
+            for k in range(TRIS_PER_ROW):
+                tri = [trow[9 * k + j] for j in range(9)]
+                t, u_, v_, ok = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+                closer = ok & (t < t_b)
+                slot_k = (row_first + r) * TRIS_PER_ROW + k
+                t_b = jnp.where(closer, t, t_b)
+                sl = jnp.where(closer, slot_k, sl)
+                uu = jnp.where(closer, u_, uu)
+                vv = jnp.where(closer, v_, vv)
+            return t_b, sl, uu, vv
+
+        t_best, slot, u, v = jax.lax.fori_loop(
+            0, n_rows, row_body, (t_best, slot, u, v))
+        if any_hit:
+            done = jnp.all((slot >= 0) | (t0 < 0.0))
+        # Refresh the scalar prune bound (t only improves in leaf sweeps).
+        pad_ub = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+        t_ub = jnp.max(t_best + pad_ub)
+        return sp, t_best, slot, u, v, done, t_ub
+
+    return jax.lax.switch(kind, [skip_fn, internal_fn, leaf_fn],
+                          (sp, t_best, slot, u, v, done, t_ub))
+
+
+def _rayvars(ox, oy, oz, dx, dy, dz, t0):
+    return (ox, oy, oz, dx, dy, dz, 1.0 / dx, 1.0 / dy, 1.0 / dz, t0)
+
+
+def _init_state4(t0):
+    return (
+        jnp.int32(1),
+        t0,
+        jnp.full(t0.shape, -1, jnp.int32),
+        jnp.zeros(t0.shape, jnp.float32),
+        jnp.zeros(t0.shape, jnp.float32),
+        jnp.bool_(False),
+        jnp.float32(_BIG),
+    )
+
+
 def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
                     ox, oy, oz, dx, dy, dz, t0, root_enc: float,
                     any_hit: bool):
     """Tile-synchronous 4-wide traversal (see module docstring).  Same return
     contract as pallas_bvh._traverse_vmem: (t_best, slot, u, v)."""
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    rv = _rayvars(ox, oy, oz, dx, dy, dz, t0)
 
     stack_ref[0] = jnp.float32(root_enc)
     tstack_ref[0] = jnp.float32(-_BIG)
@@ -200,94 +306,49 @@ def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
         return (sp > 0) & jnp.logical_not(done)
 
     def body(c):
-        sp, t_best, slot, u, v, done, t_ub = c
-        sp = sp - 1
-        enc = stack_ref[sp]
-        tin_pushed = tstack_ref[sp]
+        return _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, c,
+                          any_hit)
 
-        # 0 = stale (pushed entry t already beyond the tile's best) -> skip,
-        # 1 = internal node, 2 = leaf sweep.
-        kind = jnp.where(tin_pushed > t_ub, 0,
-                         jnp.where(enc >= 0, 1, 2))
-
-        def skip_fn(args):
-            return args
-
-        def internal_fn(args):
-            sp, t_best, slot, u, v, done, t_ub = args
-            row = nodes4_ref[enc.astype(jnp.int32)]
-            tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
-            bound = t_best + tpad
-            tins = []
-            for ci in range(4):
-                tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
-                hit = hit & (tin <= bound)
-                tins.append(jnp.min(jnp.where(hit, tin, _BIG)))
-            e0, e1, e2, e3 = row[24], row[25], row[26], row[27]
-            t0_, t1_, t2_, t3_ = tins
-
-            # 4-element sorting network on (tin, enc) pairs, DESCENDING tin,
-            # so the nearest child is pushed last (popped first).
-            def cswap(ta, ea, tb, eb):
-                sw = ta < tb
-                return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
-                        jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
-
-            t0_, e0, t1_, e1 = cswap(t0_, e0, t1_, e1)
-            t2_, e2, t3_, e3 = cswap(t2_, e2, t3_, e3)
-            t0_, e0, t2_, e2 = cswap(t0_, e0, t2_, e2)
-            t1_, e1, t3_, e3 = cswap(t1_, e1, t3_, e3)
-            t1_, e1, t2_, e2 = cswap(t1_, e1, t2_, e2)
-
-            for tv, ev in ((t0_, e0), (t1_, e1), (t2_, e2), (t3_, e3)):
-                stack_ref[sp] = ev
-                tstack_ref[sp] = tv
-                sp = sp + jnp.where(tv < _BIG, 1, 0)
-            return sp, t_best, slot, u, v, done, t_ub
-
-        def leaf_fn(args):
-            sp, t_best, slot, u, v, done, t_ub = args
-            code = (-enc - 1.0).astype(jnp.int32)
-            row_first = code // _ENC_LEAF_SHIFT
-            n_rows = code - row_first * _ENC_LEAF_SHIFT
-
-            def row_body(r, lc):
-                t_b, sl, uu, vv = lc
-                trow = tris_ref[row_first + r]
-                for k in range(TRIS_PER_ROW):
-                    tri = [trow[9 * k + j] for j in range(9)]
-                    t, u_, v_, ok = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
-                    closer = ok & (t < t_b)
-                    slot_k = (row_first + r) * TRIS_PER_ROW + k
-                    t_b = jnp.where(closer, t, t_b)
-                    sl = jnp.where(closer, slot_k, sl)
-                    uu = jnp.where(closer, u_, uu)
-                    vv = jnp.where(closer, v_, vv)
-                return t_b, sl, uu, vv
-
-            t_best, slot, u, v = jax.lax.fori_loop(
-                0, n_rows, row_body, (t_best, slot, u, v))
-            if any_hit:
-                done = jnp.all((slot >= 0) | (t0 < 0.0))
-            # Refresh the scalar prune bound (t only improves in leaf sweeps).
-            pad_ub = _SLAB_EPS * (1.0 + jnp.abs(t_best))
-            t_ub = jnp.max(t_best + pad_ub)
-            return sp, t_best, slot, u, v, done, t_ub
-
-        return jax.lax.switch(kind, [skip_fn, internal_fn, leaf_fn],
-                              (sp, t_best, slot, u, v, done, t_ub))
-
-    init = (
-        jnp.int32(1),
-        t0,
-        jnp.full(ox.shape, -1, jnp.int32),
-        jnp.zeros(ox.shape, jnp.float32),
-        jnp.zeros(ox.shape, jnp.float32),
-        jnp.bool_(False),
-        jnp.float32(_BIG),
-    )
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, body, _init_state4(t0))
     return out[1], out[2], out[3], out[4]
+
+
+def _traverse4_vmem_x2(stacks, nodes4_ref, tris_ref, rvsA, rvsB,
+                       root_enc: float, any_hit: bool):
+    """Interleaved dual-stack traversal: two INDEPENDENT half-tiles walk the
+    tree in one fused while-loop, one pop each per iteration.
+
+    Why: pops are scalar/reduction-bound (BENCH_NOTES round-2 facts — 8-row
+    tiles have 5x less vector work yet lose), and each pop's chain
+    (scalar read -> vector slab -> cross-lane min -> scalar sort -> push)
+    serializes the scalar and vector units.  Two independent chains let the
+    compiler overlap one tile's scalar pop/sort with the other's vector
+    slab/MT work — and make HALF-size tiles (less tile-union divergence)
+    affordable, since their extra pops ride in the hidden scalar slots.
+    Returns ((tA, slotA, uA, vA), (tB, slotB, uB, vB))."""
+    stackA, tstackA, stackB, tstackB = stacks
+    stackA[0] = jnp.float32(root_enc)
+    tstackA[0] = jnp.float32(-_BIG)
+    stackB[0] = jnp.float32(root_enc)
+    tstackB[0] = jnp.float32(-_BIG)
+
+    def cond(c):
+        sA, sB = c
+        liveA = (sA[0] > 0) & jnp.logical_not(sA[5])
+        liveB = (sB[0] > 0) & jnp.logical_not(sB[5])
+        return liveA | liveB
+
+    def body(c):
+        sA, sB = c
+        sA = _pop_step4(stackA, tstackA, nodes4_ref, tris_ref, rvsA, sA,
+                        any_hit)
+        sB = _pop_step4(stackB, tstackB, nodes4_ref, tris_ref, rvsB, sB,
+                        any_hit)
+        return sA, sB
+
+    sA, sB = jax.lax.while_loop(
+        cond, body, (_init_state4(rvsA[-1]), _init_state4(rvsB[-1])))
+    return (sA[1], sA[2], sA[3], sA[4]), (sB[1], sB[2], sB[3], sB[4])
 
 
 def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -303,6 +364,90 @@ def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     slot_ref[0] = slot
     u_ref[0] = u
     v_ref[0] = v
+
+
+def _bvh4_kernel_x2(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
+                    u_ref, v_ref, stackA, tstackA, stackB, tstackB,
+                    *, root_enc: float, any_hit: bool):
+    """Interleaved variant: the tile's top and bottom halves traverse as two
+    independent stacks in one fused loop (see _traverse4_vmem_x2)."""
+    rows = ox_ref.shape[1]
+    h = rows // 2
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tmax_ref[0]
+    rvA = _rayvars(ox[:h], oy[:h], oz[:h], dx[:h], dy[:h], dz[:h], tm[:h])
+    rvB = _rayvars(ox[h:], oy[h:], oz[h:], dx[h:], dy[h:], dz[h:], tm[h:])
+    (tA, slA, uA, vA), (tB, slB, uB, vB) = _traverse4_vmem_x2(
+        (stackA, tstackA, stackB, tstackB), nodes4_ref, tris_ref,
+        rvA, rvB, root_enc, any_hit)
+    t_ref[0] = jnp.concatenate([tA, tB], axis=0)
+    slot_ref[0] = jnp.concatenate([slA, slB], axis=0)
+    u_ref[0] = jnp.concatenate([uA, uB], axis=0)
+    v_ref[0] = jnp.concatenate([vA, vB], axis=0)
+
+
+def _bvh4_bounce_kernel_x2(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           tmax_ref, nodes4_ref, tris_ref, lights_ref,
+                           t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                           stackA, tstackA, stackB, tstackB,
+                           *, root_enc: float, num_lights: int):
+    """Interleaved fused bounce: closest-hit then per-light shadow any-hit,
+    each as a dual-stack interleaved walk over the tile's two halves."""
+    rows = ox_ref.shape[1]
+    h = rows // 2
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tm = tmax_ref[0]
+    stacks = (stackA, tstackA, stackB, tstackB)
+
+    def halves(a):
+        return a[:h], a[h:]
+
+    (oxA, oxB), (oyA, oyB), (ozA, ozB) = halves(ox), halves(oy), halves(oz)
+    (dxA, dxB), (dyA, dyB), (dzA, dzB) = halves(dx), halves(dy), halves(dz)
+    tmA, tmB = halves(tm)
+    (tA, slA, uA, vA), (tB, slB, uB, vB) = _traverse4_vmem_x2(
+        stacks, nodes4_ref, tris_ref,
+        _rayvars(oxA, oyA, ozA, dxA, dyA, dzA, tmA),
+        _rayvars(oxB, oyB, ozB, dxB, dyB, dzB, tmB),
+        root_enc, any_hit=False)
+
+    hitA, hitB = slA >= 0, slB >= 0
+    thA = jnp.where(hitA, tA, 0.0)
+    thB = jnp.where(hitB, tB, 0.0)
+    pxA, pyA, pzA = oxA + dxA * thA, oyA + dyA * thA, ozA + dzA * thA
+    pxB, pyB, pzB = oxB + dxB * thB, oyB + dyB * thB, ozB + dzB * thB
+
+    bitsA = jnp.zeros(oxA.shape, jnp.int32)
+    bitsB = jnp.zeros(oxB.shape, jnp.int32)
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+
+        def shadow_rv(px, py, pz, hit):
+            tx, ty, tz = lrow[0] - px, lrow[1] - py, lrow[2] - pz
+            dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+            inv = 1.0 / jnp.maximum(dist, 1e-20)
+            sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+            sox = px + SHADOW_EPS * sdx
+            soy = py + SHADOW_EPS * sdy
+            soz = pz + SHADOW_EPS * sdz
+            tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+            return _rayvars(sox, soy, soz, sdx, sdy, sdz, tmax_l)
+
+        (_, sA, _, _), (_, sB, _, _) = _traverse4_vmem_x2(
+            stacks, nodes4_ref, tris_ref,
+            shadow_rv(pxA, pyA, pzA, hitA), shadow_rv(pxB, pyB, pzB, hitB),
+            root_enc, any_hit=True)
+        bitsA = bitsA | ((sA >= 0).astype(jnp.int32) << li)
+        bitsB = bitsB | ((sB >= 0).astype(jnp.int32) << li)
+
+    t_ref[0] = jnp.concatenate([tA, tB], axis=0)
+    slot_ref[0] = jnp.concatenate([slA, slB], axis=0)
+    u_ref[0] = jnp.concatenate([uA, uB], axis=0)
+    v_ref[0] = jnp.concatenate([vA, vB], axis=0)
+    shadow_ref[0] = jnp.concatenate([bitsA, bitsB], axis=0)
 
 
 def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -352,12 +497,19 @@ def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = shadow_bits
 
 
+def _stack_scratch(interleave: int):
+    return [pltpu.SMEM((MAX_STACK,), jnp.float32)
+            for _ in range(2 * interleave)]
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("root_enc", "any_hit", "interpret"))
+                   static_argnames=("root_enc", "any_hit", "interpret",
+                                    "interleave"))
 def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
-               any_hit=False, interpret=False):
+               any_hit=False, interpret=False, interleave=1):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
-    kernel = functools.partial(_bvh4_kernel, root_enc=root_enc, any_hit=any_hit)
+    base = _bvh4_kernel if interleave == 1 else _bvh4_kernel_x2
+    kernel = functools.partial(base, root_enc=root_enc, any_hit=any_hit)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -375,14 +527,13 @@ def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
         ],
         out_specs=[ray_spec() for _ in range(4)],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.float32),
-                        pltpu.SMEM((MAX_STACK,), jnp.float32)],
+        scratch_shapes=_stack_scratch(interleave),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows)
 
 
 def _run4(packed: PackedBVH4, origins, dirs, t_max, any_hit, interpret,
-          tile_rows: int = RAY_ROWS):
+          tile_rows: int = RAY_ROWS, interleave: int = 1):
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
@@ -394,19 +545,19 @@ def _run4(packed: PackedBVH4, origins, dirs, t_max, any_hit, interpret,
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     t, slot, u, v = _bvh4_call(rays, tm_tiles, packed.nodes4, packed.tri_rows,
                                packed.root_enc, any_hit=any_hit,
-                               interpret=interpret)
+                               interpret=interpret, interleave=interleave)
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(slot), flat(u), flat(v), n
 
 
 def intersect_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
                           t_max=None, interpret: bool | None = None,
-                          tile_rows: int = RAY_ROWS) -> Hit:
+                          tile_rows: int = RAY_ROWS, interleave: int = 1) -> Hit:
     """Closest-hit through the 4-wide kernel (+ jnp sphere tail)."""
     if interpret is None:
         interpret = _default_interpret()
     t, slot, u, v, n = _run4(packed, origins, dirs, t_max, False, interpret,
-                             tile_rows=tile_rows)
+                             tile_rows=tile_rows, interleave=interleave)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
     best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
     return _sphere_merge(scene, origins, dirs, best)
@@ -414,14 +565,14 @@ def intersect_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
 
 def occluded_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs, t_max,
                          interpret: bool | None = None,
-                         tile_rows: int = RAY_ROWS):
+                         tile_rows: int = RAY_ROWS, interleave: int = 1):
     """Any-hit through the 4-wide kernel."""
     if interpret is None:
         interpret = _default_interpret()
     from .intersect import intersect_spheres_one
 
     t, slot, _, _, n = _run4(packed, origins, dirs, t_max, True, interpret,
-                             tile_rows=tile_rows)
+                             tile_rows=tile_rows, interleave=interleave)
     blocked = slot >= 0
     num_spheres = scene.spheres.radius.shape[0]
     if num_spheres > 0:
@@ -434,11 +585,14 @@ def occluded_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs, t_max,
     return blocked
 
 
-@functools.partial(jax.jit, static_argnames=("root_enc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("root_enc", "interpret",
+                                             "interleave"))
 def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
-                      interpret=False):
+                      interpret=False, interleave=1):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
-    kernel = functools.partial(_bvh4_bounce_kernel, root_enc=root_enc,
+    base = (_bvh4_bounce_kernel if interleave == 1
+            else _bvh4_bounce_kernel_x2)
+    kernel = functools.partial(base, root_enc=root_enc,
                                num_lights=lights.shape[0])
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -459,10 +613,179 @@ def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
         ],
         out_specs=[ray_spec() for _ in range(5)],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.float32),
-                        pltpu.SMEM((MAX_STACK,), jnp.float32)],
+        scratch_shapes=_stack_scratch(interleave),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows, lights)
+
+
+# ---------------------------------------------------------------------------
+# Cone-coherent soft-shadow sampler over the 4-wide tree: same layout and
+# contract as pallas_bvh's cone sampler (lanes = pixels, rows = samples, one
+# any-hit traversal per tile) but with the 4-wide pop (half the scalar-bound
+# pops).  Lets spherical-light scenes keep the BVH4 backend for primary rays
+# too, instead of falling back to the binary table (make_backend).
+# ---------------------------------------------------------------------------
+
+
+def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
+                            nodes4_ref, tris_ref, light_ref, cnt_ref,
+                            stack_ref, tstack_ref,
+                            *, num_samples, rows, root_enc):
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
+    shape = (rows, RAY_COLS)
+    bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
+    px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
+    vm = jnp.broadcast_to(vmask_ref[0][0:1, :], shape)
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+
+    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    passes = -(-num_samples // rows)
+    cnt = jnp.zeros(shape, jnp.int32)
+    for p in range(passes):
+        smask = ((row_id + p * rows < num_samples) & (vm > 0)).astype(jnp.int32)
+        b0 = pltpu.prng_random_bits(shape)
+        b1 = pltpu.prng_random_bits(shape)
+        b2 = pltpu.prng_random_bits(shape)
+        b3 = pltpu.prng_random_bits(shape)
+        gx, gy, gz = _gauss3_from_bits(b0, b1, b2, b3)
+        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+            px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
+        _, slot, _, _ = _traverse4_vmem(
+            stack_ref, tstack_ref, nodes4_ref, tris_ref,
+            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True)
+        cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
+    total = jnp.sum(cnt, axis=0, keepdims=True)  # (1, 128) per-pixel counts
+    cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
+
+
+def _soft4_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
+                             nodes4_ref, tris_ref, light_ref, cnt_ref,
+                             stack_ref, tstack_ref,
+                             *, num_samples, rows, root_enc):
+    """Table variant (CPU interpret tests): precomputed Gaussians."""
+    shape = (rows, RAY_COLS)
+    bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
+    px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
+    vm = jnp.broadcast_to(vmask_ref[0][0:1, :], shape)
+    lrow = light_ref[0]
+    lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+
+    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    passes = -(-num_samples // rows)
+    cnt = jnp.zeros(shape, jnp.int32)
+    for p in range(passes):
+        smask = ((row_id + p * rows < num_samples) & (vm > 0)).astype(jnp.int32)
+        gx = gauss_ref[0, p, 0]
+        gy = gauss_ref[0, p, 1]
+        gz = gauss_ref[0, p, 2]
+        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+            px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
+        _, slot, _, _ = _traverse4_vmem(
+            stack_ref, tstack_ref, nodes4_ref, tris_ref,
+            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True)
+        cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
+    total = jnp.sum(cnt, axis=0, keepdims=True)
+    cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
+
+
+def _pix_spec4():
+    return pl.BlockSpec((1, 8, RAY_COLS), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "rows",
+                                             "root_enc", "interpret"))
+def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
+                          num_samples, rows, root_enc, interpret=False):
+    g = pix4[0].shape[0]
+    kernel = functools.partial(_soft4_cone_prng_kernel,
+                               num_samples=num_samples, rows=rows,
+                               root_enc=root_enc)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [_pix_spec4() for _ in range(4)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes4
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # light row [1, 4]
+        ],
+        out_specs=_pix_spec4(),
+        out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
+        scratch_shapes=_stack_scratch(1),
+        interpret=interpret,
+    )(seeds, *pix4, nodes4, tri_rows, light_row)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "rows",
+                                             "root_enc", "interpret"))
+def _soft4_cone_table_call(pix4, light_row, gauss, nodes4, tri_rows,
+                           num_samples, rows, root_enc, interpret=True):
+    g = pix4[0].shape[0]
+    passes = gauss.shape[1]
+    kernel = functools.partial(_soft4_cone_table_kernel,
+                               num_samples=num_samples, rows=rows,
+                               root_enc=root_enc)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, passes, 3, rows, RAY_COLS),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [_pix_spec4() for _ in range(4)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=_pix_spec4(),
+        out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
+        scratch_shapes=_stack_scratch(1),
+        interpret=interpret,
+    )(gauss, *pix4, nodes4, tri_rows, light_row)
+
+
+def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
+                                        positions, light_pos, light_radius,
+                                        key, num_samples: int,
+                                        interpret: bool | None = None,
+                                        gauss=None,
+                                        sample_rows: int | None = None):
+    """Cone-coherent visible-sample counts over the 4-wide tree; same [N]
+    float32 contract as pallas_bvh.soft_shadow_counts_pallas_bvh_cone."""
+    from .pallas_bvh import (_cone_light_row, _cone_pack_gauss,
+                             _cone_pack_pixels)
+    from .pallas_kernels import _key_seeds
+
+    if interpret is None:
+        interpret = _default_interpret()
+    if sample_rows is None:
+        sample_rows = -(-num_samples // 8) * 8
+    positions = jax.lax.stop_gradient(positions)
+    pix4, n, g, pad = _cone_pack_pixels(positions)
+    light_row = _cone_light_row(light_pos, light_radius)
+
+    if gauss is None:
+        if interpret:
+            raise NotImplementedError(
+                "soft-shadow PRNG kernel has no CPU interpretation; pass "
+                "gauss= for the table variant or run on TPU")
+        cnt = _soft4_cone_prng_call(pix4, light_row, _key_seeds(key),
+                                    packed.nodes4, packed.tri_rows,
+                                    num_samples, sample_rows,
+                                    packed.root_enc, interpret=False)
+    else:
+        if gauss.shape[0] != num_samples:
+            raise ValueError(
+                f"gauss has {gauss.shape[0]} samples along axis 0 but "
+                f"num_samples={num_samples}; they must match")
+        gp = _cone_pack_gauss(gauss, num_samples, sample_rows, g, pad)
+        cnt = _soft4_cone_table_call(pix4, light_row, gp,
+                                     packed.nodes4, packed.tri_rows,
+                                     num_samples, sample_rows,
+                                     packed.root_enc, interpret=interpret)
+    return cnt[:, 0, :].reshape(-1)[:n].astype(jnp.float32)
 
 
 def supports_fused_bounce_bvh4(scene: Scene) -> bool:
@@ -477,7 +800,8 @@ def supports_fused_bounce_bvh4(scene: Scene) -> bool:
 
 def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
                        interpret: bool | None = None,
-                       tile_rows: int = RAY_ROWS, live=None):
+                       tile_rows: int = RAY_ROWS, live=None,
+                       interleave: int = 1):
     """Fused closest-hit + per-point-light shadow query over the 4-wide tree.
     Same (Hit, shadow_bits) contract as pallas_bvh.bounce_pallas_bvh."""
     if interpret is None:
@@ -494,7 +818,7 @@ def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
     lights = jax.lax.stop_gradient(scene.point_lights.position)
     t, slot, u, v, bits = _bvh4_bounce_call(
         rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
-        packed.root_enc, interpret=interpret)
+        packed.root_enc, interpret=interpret, interleave=interleave)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)

@@ -119,6 +119,30 @@ class RenderConfig:
         # dragon 54.8 -> 50.9, monkey 40.6 -> 39.7 ms (800^2 fwd steady).
         return "4"
 
+    # Dual-stack interleaving for the 4-wide VMEM kernel: '2' splits each ray
+    # tile into two independent half-tiles traversing in ONE fused loop (one
+    # pop each per iteration).  Pops are scalar/reduction-bound (round-2
+    # measured facts); two independent chains let the scheduler overlap one
+    # half's scalar pop/sort with the other's vector slab/MT work, and make
+    # half-size tiles (less tile-union divergence) affordable.  'auto' =
+    # measured best (scripts/tpu_il_ab.py).
+    bvh_interleave: str = "auto"
+
+    def resolve_bvh_interleave(self) -> int:
+        if self.bvh_interleave not in ("auto", "1", "2"):
+            raise ValueError(
+                f"bvh_interleave must be 'auto' | '1' | '2', got "
+                f"{self.bvh_interleave!r}")
+        if self.bvh_interleave != "auto":
+            n = int(self.bvh_interleave)
+        else:
+            # 'auto' = '1' until the TPU A/B (scripts/tpu_il_ab.py) flips it.
+            n = 1
+        if n == 2 and self.resolve_bvh_tile_rows() % 16:
+            # Halves must stay 8-sublane aligned.
+            return 1
+        return n
+
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
     # 'sah' (binned surface-area heuristic — tighter boxes shrink the node
     # union a tile-synchronous ray tile must visit).  'auto' currently means
@@ -222,9 +246,11 @@ class RenderConfig:
                 f"{self.soft_shadow_tile!r}")
         if self.soft_shadow_tile != "auto":
             return self.soft_shadow_tile
-        # 'auto' = 'sample' until the TPU A/B (scripts/tpu_soft_cone_ab.py)
-        # is measured; flipped here if the cone layout wins.
-        return "sample"
+        # Measured on v5e (scripts/tpu_r3_sweep.py soft_cone_ab,
+        # r3_results.jsonl): the cone-coherent layout — one any-hit traversal
+        # serving 128 pixels x all their samples — wins decisively on
+        # monkey_spherical_light (1559.8 -> 1073.9 ms, 800^2 fwd steady).
+        return "cone"
 
     def resolve_soft_shadow_kernel(self, platform: str | None = None) -> bool:
         """Whether the in-kernel Pallas soft-shadow sampler should be used (the

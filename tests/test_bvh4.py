@@ -84,6 +84,46 @@ def test_bvh4_fused_bounce_contract():
     assert agree.mean() > 0.99
 
 
+def test_bvh4_interleave_matches_single_stack():
+    # interleave=2 splits the tile into two independent half-traversals; the
+    # per-ray math is identical, so results match interleave=1 bit-for-bit up
+    # to coincident-t tie-breaks.
+    scene = cgrt.load_scene("monkey")
+    _, p4 = build_packed_bvh4(scene, max_leaf=56)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 48, 48)
+    h1 = intersect_pallas_bvh4(scene, p4, o, d, tile_rows=16, interleave=1)
+    h2 = intersect_pallas_bvh4(scene, p4, o, d, tile_rows=16, interleave=2)
+    t1 = np.where(np.isinf(np.asarray(h1.t)), 1e9, np.asarray(h1.t))
+    t2 = np.where(np.isinf(np.asarray(h2.t)), 1e9, np.asarray(h2.t))
+    assert (~np.isclose(t1, t2, atol=1e-5, rtol=1e-6)).mean() < 0.002
+
+    rng = np.random.default_rng(1)
+    n = 2048
+    ro = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    rd = rng.normal(size=(n, 3))
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd, jnp.float32)
+    tm = jnp.asarray(rng.uniform(0.5, 5.0, (n,)), jnp.float32)
+    o1 = np.asarray(occluded_pallas_bvh4(scene, p4, ro, rd, tm,
+                                         tile_rows=16, interleave=1))
+    o2 = np.asarray(occluded_pallas_bvh4(scene, p4, ro, rd, tm,
+                                         tile_rows=16, interleave=2))
+    assert (o1 != o2).mean() < 0.005
+
+
+def test_bvh4_interleave_bounce_contract():
+    scene = cgrt.load_scene("cornell_box")
+    _, p4 = build_packed_bvh4(scene, max_leaf=14)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    h1, b1 = bounce_pallas_bvh4(scene, p4, o, d, tile_rows=16, interleave=1)
+    h2, b2 = bounce_pallas_bvh4(scene, p4, o, d, tile_rows=16, interleave=2)
+    t1 = np.where(np.isinf(np.asarray(h1.t)), 1e9, np.asarray(h1.t))
+    t2 = np.where(np.isinf(np.asarray(h2.t)), 1e9, np.asarray(h2.t))
+    assert (~np.isclose(t1, t2, atol=1e-5, rtol=1e-6)).mean() < 0.002
+    valid = np.asarray(h1.prim_id) >= 0
+    assert ((np.asarray(b1) == np.asarray(b2)) | ~valid).mean() > 0.995
+
+
 def test_bvh4_refit_matches_brute_on_moved_geometry():
     from cg_raytracer_tpu.ops.refit import make_refit_plan, refit_accel
 

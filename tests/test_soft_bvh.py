@@ -102,6 +102,54 @@ def test_cone_sampler_matches_per_sample_kernel(monkey_sl, sample_rows,
     np.testing.assert_array_equal(cone, ref)
 
 
+@pytest.mark.parametrize("sample_rows,num_samples", [(None, 12), (16, 40)])
+def test_bvh4_cone_sampler_matches_binary(monkey_sl, sample_rows, num_samples):
+    """The 4-wide cone sampler must produce IDENTICAL counts to the binary
+    cone sampler given the same Gaussian table — same shadow rays, different
+    node table (oracle contract)."""
+    from cg_raytracer_tpu.ops.pallas_bvh import \
+        soft_shadow_counts_pallas_bvh_cone
+    from cg_raytracer_tpu.ops.pallas_bvh4 import (
+        build_packed_bvh4, soft_shadow_counts_pallas_bvh4_cone)
+
+    scene = monkey_sl
+    _, packed = build_packed_bvh(scene)
+    _, packed4 = build_packed_bvh4(scene, max_leaf=56)
+    cam = cgrt.Camera.default()
+    o, d = cam_ops.generate_rays(cam, 12, 12)
+    surf = reconstruct_hit(scene, o, d, intersect_brute(scene, o, d))
+    key = jax.random.PRNGKey(5)
+    gauss = jax.random.normal(key, (num_samples, o.shape[0], 3), jnp.float32)
+    lpos = scene.spherical_lights.position[0]
+    lrad = scene.spherical_lights.radius[0]
+    ref = np.asarray(soft_shadow_counts_pallas_bvh_cone(
+        scene, packed, surf.position, lpos, lrad, key, num_samples,
+        interpret=True, gauss=gauss, sample_rows=sample_rows))
+    got = np.asarray(soft_shadow_counts_pallas_bvh4_cone(
+        scene, packed4, surf.position, lpos, lrad, key, num_samples,
+        interpret=True, gauss=gauss, sample_rows=sample_rows))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bvh4_cone_backend_wiring(monkey_sl):
+    # With bvh_wide='4' and soft_shadow_tile='cone', the backend stays on the
+    # 4-wide tree (closest/bounce) — formerly it fell back to binary whenever
+    # the in-kernel sampler was selected.  On CPU soft_vis still gates off
+    # (PRNG has no interpretation) but the oracle side must be BVH4.
+    from cg_raytracer_tpu.ops.pallas_bvh4 import build_packed_bvh4
+
+    cfg = cgrt.RenderConfig(backend="pallas", pallas_brute_max_tris=0,
+                            bvh_wide="4", soft_shadow_tile="cone")
+    _, p4 = build_packed_bvh4(monkey_sl, max_leaf=56)
+    be = make_backend(monkey_sl, cfg, bvh=p4)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 8, 8)
+    hit = be.closest(o, d)
+    hb = intersect_brute(monkey_sl, o, d)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    t4 = np.where(np.isinf(np.asarray(hit.t)), 1e9, np.asarray(hit.t))
+    assert (~np.isclose(tb, t4, atol=1e-4, rtol=1e-5)).mean() < 0.01
+
+
 def test_bvh_sampler_gauss_mismatch_raises(monkey_sl):
     _, packed = build_packed_bvh(monkey_sl)
     lpos = monkey_sl.spherical_lights.position[0]
