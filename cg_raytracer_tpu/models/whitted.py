@@ -374,6 +374,25 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
                 and backend.bounce is not None
                 and scene.spherical_lights.position.shape[0] == 0)
 
+    # Two-phase structure (cfg.grad_two_phase): oracle records first (all
+    # bounces, materials stop-gradded), then the differentiable shade chain
+    # over them.  Same eligibility conditions as remat (the record phase must
+    # capture everything the shade needs: fused shadow bits, no stochastic
+    # spherical sampling).
+    two_phase_ok = (cfg.resolve_grad_two_phase()
+                    and backend.bounce is not None
+                    and scene.spherical_lights.position.shape[0] == 0
+                    and sample_constrain is None)
+
+    # Fused shade kernel: two-phase only (its VJP treats o/d as stop-gradded,
+    # which is exactly the two-phase records' contract; the one-phase path's
+    # vertex-grad term through the reflected-ray origin would be dropped).
+    use_shade_kernel = False
+    if two_phase_ok and cfg.resolve_shade_kernel():
+        from ..ops.pallas_shade import shade_fused_pallas, supports_shade_kernel
+
+        use_shade_kernel = supports_shade_kernel(scene)
+
     def shade_level(scene_, o_, d_, hit_, bits_, lkey_):
         surf_ = reconstruct_hit(scene_, o_, d_, hit_)
         direct_ = shading.direct_light(
@@ -390,6 +409,53 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
 
     if remat_ok:
         shade_level = jax.checkpoint(shade_level)
+
+    if two_phase_ok:
+        # --- Phase 1: oracle records, geometry/masks only (stop-grad scene).
+        # The reflective test and the reflection rays use only stop-gradded
+        # quantities the one-phase path also never differentiates (masks are
+        # discrete; o/d feed stop-gradded oracle kernels), so gradients are
+        # unchanged — only the partial-eval boundary moves.
+        sg_scene = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+        records = []
+        o, d = origins, dirs
+        active = jnp.ones((n,), bool)
+        for level in range(cfg.max_depth):
+            if level > 0 and resort != "off":
+                hit, bits = _resorted_query(backend, o, d, active,
+                                            scene_lo, scene_hi, resort)
+            else:
+                hit, bits = backend.bounce(
+                    o, d, live=active if level > 0 else None)
+            records.append((o, d, hit, bits, active))
+            if level + 1 >= cfg.max_depth:
+                break
+            surf = reconstruct_hit(sg_scene, o, d, hit)
+            lit = active & surf.valid
+            if cfg.reference_quirks:
+                reflective = surf.ks[..., 2] > 0.01
+            else:
+                reflective = jnp.any(surf.ks > 0.01, axis=-1)
+            active = lit & reflective
+            refl_dir = safe_normalize(reflect(d, surf.normal))
+            o = surf.position + REFLECT_EPS * refl_dir
+            d = jnp.where(active[..., None], refl_dir, d)
+
+        # --- Phase 2: differentiable shade chain over the records.
+        color = jnp.zeros((n, 3), jnp.float32)
+        throughput = jnp.ones((n, 3), jnp.float32)
+        for level, (o_l, d_l, hit_l, bits_l, active_l) in enumerate(records):
+            if use_shade_kernel:
+                direct, valid, ks, _, _ = shade_fused_pallas(
+                    scene, o_l, d_l, hit_l, bits_l)
+            else:
+                lkey = jax.random.fold_in(key, level)
+                direct, valid, ks, _, _ = shade_level(
+                    scene, o_l, d_l, hit_l, bits_l, lkey)
+            lit = active_l & valid
+            color = color + throughput * direct * lit[..., None].astype(jnp.float32)
+            throughput = throughput * ks
+        return color
 
     o, d = origins, dirs
     for level in range(cfg.max_depth):

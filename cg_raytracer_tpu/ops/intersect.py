@@ -70,7 +70,11 @@ def moller_trumbore(origins, dirs, v0, v1, v2, eps: float = 1e-9):
     e2 = v2 - v0
     pvec = jnp.cross(dirs, e2)
     det = dot(e1, pvec)
-    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    ok_det = jnp.abs(det) > eps
+    # det_safe: keep the masked 1/det branch finite so its VJP cannot emit
+    # inf * 0 = NaN on degenerate/parallel triangles (bitwise-identical fwd).
+    det_safe = jnp.where(ok_det, det, 1.0)
+    inv_det = jnp.where(ok_det, 1.0 / det_safe, 0.0)
     tvec = origins - v0
     u = dot(tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)

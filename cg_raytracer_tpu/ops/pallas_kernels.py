@@ -55,7 +55,12 @@ def _mt_tile(ox, oy, oz, dx, dy, dz, tri):
     pz = dx * e2y - dy * e2x
     det = e1x * px + e1y * py + e1z * pz
     ok_det = jnp.abs(det) > _MT_EPS
-    inv_det = jnp.where(ok_det, 1.0 / det, 0.0)
+    # det_safe keeps the 1/det branch finite where ok_det is False — bitwise
+    # identical forward, but without it the VJP evaluates d(1/det) = -1/det^2
+    # at det == 0 and the masked-out branch poisons gradients with inf * 0
+    # (hit as NaN vertex grads through the fused shade kernel's VJP).
+    det_safe = jnp.where(ok_det, det, 1.0)
+    inv_det = jnp.where(ok_det, 1.0 / det_safe, 0.0)
     # tvec = o - v0
     tx = ox - v0x
     ty = oy - v0y

@@ -1,0 +1,365 @@
+"""Fused differentiable shade kernel with a custom VJP — the headline's
+reconstruct+Phong chain in one Pallas dispatch each way.
+
+Reference capability: the shading math being differentiated is
+``/root/reference/src/main.cpp:61-135`` (diffuseOneLight / specularOneLight /
+pointInShadow) over the reconstruction of ``ray_tracing.cpp:94-106``.
+
+Why: the XLA reconstruct+shade chain measured 3.61 ms fwd / 4.72 ms fwd+bwd at
+the 1024^2 headline (scripts/tpu_bwd2.py) — ~10x off its flop roofline, lost
+to materialized [N,28] gathers, one-hot tables, and a dozen [N,3]
+intermediates round-tripping HBM.  This kernel keeps the whole chain in
+registers: the forward gathers per-triangle attributes by masked select
+(static table-row reads, same pattern as the trace megakernel), recomputes
+Möller–Trumbore, interpolates the facing-flipped shading normal, and
+accumulates bit-gated Phong per light.  The backward is the SAME math
+re-traced under ``jax.vjp`` *inside* the kernel body — elementwise only, so it
+legalizes — emitting per-ray cotangents for all 28 gathered fields plus
+per-tile light cotangents; the tiny [N,28] -> [T,28] table transpose stays in
+XLA as a one-hot matmul (precision HIGHEST — the payload rule from
+ops/intersect.py applies to the transpose too).
+
+Gradient contract: identical to the XLA path.  The gather, the facing flip,
+the shadow bits, and ``valid`` are discrete (not differentiated there either);
+everything continuous (MT, normal interpolation, Phong, light geometry) is
+differentiated by the traced VJP, so there is no hand-derived math to drift.
+
+Scope (supports_shade_kernel): triangle scenes <= SHADE_MAX_TRIS with 1..8
+point lights, no spheres, no spherical lights — the select-loop gather is
+O(T) per ray, which is the right trade only for small tables (the headline
+Cornell box has 32).  Larger scenes keep the XLA chain.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .intersect import Surface
+from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, SHADOW_EPS,
+                             _aux_table, _default_interpret, _mt_tile,
+                             _pack_rays, _tri_table)
+
+SHADE_MAX_TRIS = 64
+_NFIELD = 28  # 9 triangle-vertex lanes + 19 aux lanes (normals/face/material)
+
+
+def supports_shade_kernel(scene: Scene) -> bool:
+    return (
+        0 < scene.num_triangles <= SHADE_MAX_TRIS
+        and scene.spheres.radius.shape[0] == 0
+        and scene.spherical_lights.position.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+    )
+
+
+def _gather_fields(tris_ref, aux_ref, slot, num_tris):
+    """Per-ray attribute gather by masked select over static table rows.
+    Returns 28 tiles: v0(3) v1(3) v2(3) | n0(3) n1(3) n2(3) face(3) kd(3)
+    ks(3) shininess(1).  Miss lanes (slot -1) fall through to row 0 —
+    mirroring reconstruct_hit's clip-gather, so their masked-out math stays
+    non-degenerate (an all-zero triangle has det == 0, whose VJP poisons
+    gradients; see the det_safe note in _mt_tile)."""
+    bro = lambda s: jnp.full(slot.shape, s, jnp.float32)
+    trow0, arow0 = tris_ref[0], aux_ref[0]
+    f = [bro(trow0[j]) for j in range(9)] + [bro(arow0[j]) for j in range(19)]
+    for ti in range(1, num_tris):
+        sel = slot == ti
+        trow = tris_ref[ti]
+        arow = aux_ref[ti]
+        for j in range(9):
+            f[j] = jnp.where(sel, trow[j], f[j])
+        for j in range(19):
+            f[9 + j] = jnp.where(sel, arow[j], f[9 + j])
+    return f
+
+
+def _shade_math(fields, light_scalars, o3, d3, bits, hit_f):
+    """The differentiable core: per-ray shade from gathered fields.
+
+    fields: 28 tiles (see _gather_fields); light_scalars: per-light tuple of 6
+    traced scalars (px,py,pz, cr,cg,cb); o3/d3: ray tiles; bits: int32 shadow
+    bits (discrete); hit_f: float 0/1 valid mask (discrete).
+    Returns 12 tiles: direct(3), ks(3), normal(3), position(3) — Surface
+    miss semantics (zeros; shininess handled internally)."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z,
+     n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+     fnx, fny, fnz, kdx, kdy, kdz, ksx, ksy, ksz, shin) = fields
+    shin = jnp.where(hit_f > 0.0, shin, 1.0)  # Surface: shininess 1 on miss
+
+    # Möller–Trumbore recompute on the gathered triangle (reconstruct_hit).
+    t, u, v, _ = _mt_tile(ox, oy, oz, dx, dy, dz,
+                          [v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z])
+    t = jnp.where(hit_f > 0.0, t, 0.0)
+    px = ox + dx * t
+    py = oy + dy * t
+    pz = oz + dz * t
+
+    # Interpolated camera-facing shading normal.
+    w0 = 1.0 - u - v
+    nx = w0 * n0x + u * n1x + v * n2x
+    ny = w0 * n0y + u * n1y + v * n2y
+    nz = w0 * n0z + u * n1z + v * n2z
+    ninv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+    facing = (fnx * dx + fny * dy + fnz * dz) < 0.0  # dot(face_n, -d) > 0
+    flip = jnp.where(facing, 1.0, -1.0)
+    nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+    # Reflected view ray (specular lobe).
+    ddn = dx * nx + dy * ny + dz * nz
+    rx = dx - 2.0 * ddn * nx
+    ry = dy - 2.0 * ddn * ny
+    rz = dz - 2.0 * ddn * nz
+    rinv = 1.0 / jnp.maximum(jnp.sqrt(rx * rx + ry * ry + rz * rz), 1e-20)
+    rx, ry, rz = rx * rinv, ry * rinv, rz * rinv
+
+    dr = jnp.zeros_like(px)
+    dg = jnp.zeros_like(px)
+    db = jnp.zeros_like(px)
+    for li, (lx, ly, lz, lcr, lcg, lcb) in enumerate(light_scalars):
+        tox = lx - px
+        toy = ly - py
+        toz = lz - pz
+        linv = 1.0 / jnp.maximum(
+            jnp.sqrt(tox * tox + toy * toy + toz * toz), 1e-20)
+        ldx, ldy, ldz = tox * linv, toy * linv, toz * linv
+        blocked = ((bits >> li) & 1) > 0
+        w = jnp.where(blocked, 0.0, hit_f)
+        dcos = jnp.maximum(ldx * nx + ldy * ny + ldz * nz, 0.0)
+        scos = rx * ldx + ry * ldy + rz * ldz
+        spec = jnp.power(jnp.maximum(scos, 1e-30), shin)
+        spec = jnp.where(scos > 0.0, spec, 0.0)
+        dr = dr + lcr * (kdx * dcos + ksx * spec) * w
+        dg = dg + lcg * (kdy * dcos + ksy * spec) * w
+        db = db + lcb * (kdz * dcos + ksz * spec) * w
+
+    # Surface miss semantics: zero position/normal/ks (the gather falls
+    # through to row 0 on miss, so every field needs the explicit gate;
+    # direct is already gated per light by w).
+    px, py, pz = px * hit_f, py * hit_f, pz * hit_f
+    nx, ny, nz = nx * hit_f, ny * hit_f, nz * hit_f
+    ksx, ksy, ksz = ksx * hit_f, ksy * hit_f, ksz * hit_f
+    return (dr, dg, db, ksx, ksy, ksz, nx, ny, nz, px, py, pz)
+
+
+def _light_scalars(lights_ref, num_lights):
+    out = []
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+        out.append(tuple(lrow[j] for j in range(6)))
+    return out
+
+
+def _shade_fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      prim_ref, bits_ref, tris_ref, aux_ref, lights_ref,
+                      *out_refs, num_tris, num_lights):
+    slot = prim_ref[0]
+    hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
+    fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
+    outs = _shade_math(fields, _light_scalars(lights_ref, num_lights),
+                       (ox_ref[0], oy_ref[0], oz_ref[0]),
+                       (dx_ref[0], dy_ref[0], dz_ref[0]),
+                       bits_ref[0], hit_f)
+    for ref, val in zip(out_refs, outs):
+        ref[0] = val
+
+
+def _shade_bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      prim_ref, bits_ref, tris_ref, aux_ref, lights_ref,
+                      ct_refs_and_outs, num_tris, num_lights):
+    """ct_refs_and_outs: 12 cotangent tiles (matching _shade_math outputs),
+    then outputs (d_fields [1, 28, rows, 128], d_lights [1, 8, 128])."""
+    ct_refs = ct_refs_and_outs[:12]
+    dfields_ref, dlights_ref = ct_refs_and_outs[12], ct_refs_and_outs[13]
+    slot = prim_ref[0]
+    hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
+    fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
+    lscal = _light_scalars(lights_ref, num_lights)
+    o3 = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d3 = (dx_ref[0], dy_ref[0], dz_ref[0])
+    bits = bits_ref[0]
+
+    # The same math re-traced under jax.vjp: elementwise-only, so it
+    # legalizes in Mosaic; gradient semantics match XLA autodiff by
+    # construction.
+    def f(fields_, lscal_):
+        return _shade_math(fields_, lscal_, o3, d3, bits, hit_f)
+
+    _, vjp_fn = jax.vjp(f, fields, lscal)
+    cts = tuple(r[0] for r in ct_refs)
+    d_fields, d_lights = vjp_fn(cts)
+
+    for j in range(_NFIELD):
+        dfields_ref[0, j] = d_fields[j]
+
+    # Per-light scalar cotangents -> lanes li*8 + c of row 0.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 0)
+    acc = jnp.zeros((8, RAY_COLS), jnp.float32)
+    for li in range(num_lights):
+        for c in range(6):
+            val = d_lights[li][c]
+            acc = acc + jnp.where((row == 0) & (lane == li * 8 + c), val, 0.0)
+    dlights_ref[0] = acc
+
+
+def _ray_spec(rows):
+    return pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _shade_fwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
+                    interpret=False):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    kernel = functools.partial(_shade_fwd_kernel,
+                               num_tris=tri_table.shape[0],
+                               num_lights=lights.shape[0])
+    out_shape = [jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32)
+                 for _ in range(12)]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_ray_spec(rows) for _ in range(8)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri table [T, 9]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # aux table [T, 19]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 6]
+        ],
+        out_specs=[_ray_spec(rows) for _ in range(12)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, prim_tiles, bits_tiles, tri_table, aux, lights)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _shade_bwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
+                    ct_tiles, interpret=False):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    num_tris, num_lights = tri_table.shape[0], lights.shape[0]
+
+    def kernel(*refs):
+        _shade_bwd_kernel(*refs[:11], refs[11:],
+                          num_tris=num_tris, num_lights=num_lights)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((g, _NFIELD, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_ray_spec(rows) for _ in range(8)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [_ray_spec(rows) for _ in range(12)],
+        out_specs=[
+            pl.BlockSpec((1, _NFIELD, rows, RAY_COLS), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, RAY_COLS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, prim_tiles, bits_tiles, tri_table, aux, lights, *ct_tiles)
+
+
+def _pack_int(x, n, g, rows, fill):
+    xt = jnp.pad(x.astype(jnp.int32), (0, g * rows * RAY_COLS - n),
+                 constant_values=fill)
+    return xt.reshape(g, rows, RAY_COLS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _shade_core(tri_table, aux, lights, o, d, prim, bits, interpret):
+    outs = _shade_core_fwd(tri_table, aux, lights, o, d, prim, bits,
+                           interpret)[0]
+    return outs
+
+
+def _shade_core_fwd(tri_table, aux, lights, o, d, prim, bits, interpret):
+    n = o.shape[0]
+    rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
+    prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
+    bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
+    tiles = _shade_fwd_call(rays6, prim_t, bits_t, tri_table, aux, lights,
+                            interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    outs = tuple(flat(t) for t in tiles)
+    return outs, (tri_table, aux, lights, o, d, prim, bits)
+
+
+def _shade_core_bwd(interpret, res, cts):
+    tri_table, aux, lights, o, d, prim, bits = res
+    n = o.shape[0]
+    rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
+    prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
+    bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
+
+    def tile_of(ct):
+        ctp = jnp.pad(ct.astype(jnp.float32), (0, g * RAY_ROWS * RAY_COLS - n))
+        return ctp.reshape(g, RAY_ROWS, RAY_COLS)
+
+    ct_tiles = [tile_of(c) for c in cts]
+    d_fields, d_lights_t = _shade_bwd_call(
+        rays6, prim_t, bits_t, tri_table, aux, lights, ct_tiles,
+        interpret=interpret)
+
+    # [G, 28, rows, 128] -> [N, 28] -> one-hot^T matmul -> [T, 28].
+    num_tris = tri_table.shape[0]
+    d_rows = jnp.moveaxis(d_fields, 1, 3).reshape(-1, _NFIELD)[:n]
+    onehot = jax.nn.one_hot(jnp.clip(prim, 0, num_tris - 1), num_tris,
+                            dtype=jnp.float32)
+    onehot = onehot * ((prim >= 0) & (prim < num_tris)
+                       ).astype(jnp.float32)[:, None]
+    d_packed = jnp.dot(onehot.T, d_rows,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [T, 28]
+    d_tri = d_packed[:, :9]
+    d_aux = d_packed[:, 9:]
+
+    d_lights_row = jnp.sum(d_lights_t[:, 0, :], axis=0)  # [128]
+    num_lights = lights.shape[0]
+    d_lights = d_lights_row[:num_lights * 8].reshape(num_lights, 8)[:, :6]
+
+    import numpy as np
+
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # int-arg cotangents
+    return (d_tri, d_aux, d_lights, jnp.zeros_like(o), jnp.zeros_like(d),
+            f0(prim), f0(bits))
+
+
+_shade_core.defvjp(_shade_core_fwd, _shade_core_bwd)
+
+
+def shade_fused_pallas(scene: Scene, origins, dirs, hit, bits,
+                       interpret: bool | None = None) -> Surface:
+    """Drop-in replacement for reconstruct_hit + direct_point_lights on
+    eligible scenes, returning (direct [N,3], Surface).  Differentiable w.r.t.
+    vertices, normals, materials, and point lights through the custom VJP."""
+    if interpret is None:
+        interpret = _default_interpret()
+    prim = jax.lax.stop_gradient(hit.prim_id)
+    bits = jax.lax.stop_gradient(bits)
+    tri_table = _tri_table(scene)
+    aux = _aux_table(scene)
+    lights = jnp.concatenate(
+        [scene.point_lights.position, scene.point_lights.color], axis=1)
+    o = jax.lax.stop_gradient(origins)
+    d = jax.lax.stop_gradient(dirs)
+    outs = _shade_core(tri_table, aux, lights, o, d, prim, bits, interpret)
+    (dr, dg, db, ksx, ksy, ksz, nx, ny, nz, px, py, pz) = outs
+    direct = jnp.stack([dr, dg, db], axis=-1)
+    ks = jnp.stack([ksx, ksy, ksz], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
+    position = jnp.stack([px, py, pz], axis=-1)
+    valid = (prim >= 0) & (prim < scene.num_triangles)
+    return direct, valid, ks, normal, position

@@ -239,6 +239,49 @@ class RenderConfig:
         # shows the recompute beating the residual traffic.
         return False
 
+    # Two-phase gradient structure: phase 1 computes every level's oracle
+    # records (bounce hits + shadow bits + reflection rays) with materials
+    # stop-gradded; phase 2 re-runs reconstruct+shade differentiably over the
+    # records.  Gradients are identical (the one-phase path never
+    # differentiates the oracle either); what changes is the partial-eval
+    # boundary XLA sees — candidate fix for the measured ~4 ms fwd/bwd
+    # composition overhead (scripts/tpu_bwd2.py vs tpu_prof_bwd.py).
+    grad_two_phase: str = "auto"
+
+    def resolve_grad_two_phase(self) -> bool:
+        if self.grad_two_phase not in ("auto", "on", "off"):
+            raise ValueError(
+                f"grad_two_phase must be 'auto' | 'on' | 'off', got "
+                f"{self.grad_two_phase!r}")
+        if self.grad_two_phase != "auto":
+            return self.grad_two_phase == "on"
+        # 'auto' = off until the TPU probe (scripts/tpu_prof_bwd.py hoist)
+        # shows the restructure beating the one-phase graph.
+        return False
+
+    # Fused differentiable shade kernel (ops/pallas_shade.py): reconstruct +
+    # point-light Phong in one Pallas dispatch each way (custom VJP).  Only
+    # valid inside the two-phase gradient structure (its inputs are the
+    # stop-gradded phase-1 records); scenes must pass supports_shade_kernel
+    # (<= 64 tris, point lights only).
+    shade_kernel: str = "auto"
+
+    def resolve_shade_kernel(self, platform: str | None = None) -> bool:
+        if self.shade_kernel not in ("auto", "on", "off"):
+            raise ValueError(
+                f"shade_kernel must be 'auto' | 'on' | 'off', got "
+                f"{self.shade_kernel!r}")
+        if self.shade_kernel == "off":
+            return False
+        if self.shade_kernel == "on":
+            return True
+        if platform is None:
+            import jax
+
+            platform = jax.default_backend()
+        # 'auto' = TPU only, pending the headline A/B (scripts/tpu_shade_ab.py).
+        return platform == "tpu"
+
     def resolve_soft_shadow_tile(self) -> str:
         if self.soft_shadow_tile not in ("auto", "sample", "cone"):
             raise ValueError(

@@ -202,3 +202,35 @@ def test_grad_soft_shadow_scene_finite(scenes):
     g = jax.grad(loss)(scene.materials.kd)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_grad_two_phase_matches_one_phase():
+    # cfg.grad_two_phase='on' moves the oracle record computation ahead of the
+    # differentiable shade chain (models/whitted.py trace_rays).  Forward
+    # images and parameter gradients must match the one-phase path (the
+    # restructure only moves the partial-eval boundary).
+    from cg_raytracer_tpu.optim.inverse import (apply_material_params,
+                                                material_params)
+
+    scene = cgrt.load_scene("cornell_box")
+    cam = cgrt.Camera.default()
+    key = jax.random.PRNGKey(3)
+    cfg_off = cgrt.RenderConfig(width=24, height=24, backend="pallas",
+                                grad_two_phase="off")
+    cfg_on = dataclasses.replace(cfg_off, grad_two_phase="on")
+    params = material_params(scene)
+
+    def loss(params_, cfg):
+        s = apply_material_params(scene, params_)
+        img = render_image(s, cam, cfg, key=key)
+        return jnp.mean(img), img
+
+    (l0, img0), g0 = jax.value_and_grad(
+        lambda p: loss(p, cfg_off), has_aux=True)(params)
+    (l1, img1), g1 = jax.value_and_grad(
+        lambda p: loss(p, cfg_on), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
+                               rtol=1e-6, atol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
