@@ -189,6 +189,7 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                     builder=cfg.resolve_bvh_builder(scene.num_triangles))
             packed4 = bvh
             il = cfg.resolve_bvh_interleave()
+            rows = cfg.resolve_bvh_tile_rows(wide=True)
             bounce = None
             if supports_fused_bounce_bvh4(scene):
                 bounce = lambda o, d, live=None: bounce_pallas_bvh4(
@@ -704,8 +705,12 @@ def build_accel(scene: Scene, cfg: RenderConfig):
             wide = cfg.resolve_bvh_wide() == "4"
             if (wide and scene.spherical_lights.position.shape[0] > 0
                     and cfg.resolve_soft_shadow_kernel()
-                    and supports_soft_shadow_kernel_bvh(scene)):
-                wide = False  # mirror make_backend's soft-sampler routing
+                    and supports_soft_shadow_kernel_bvh(scene)
+                    and cfg.resolve_soft_shadow_tile() != "cone"):
+                # Mirror make_backend's soft-sampler routing: only the
+                # per-SAMPLE sampler forces the binary tree; the cone
+                # sampler has a 4-wide variant.
+                wide = False
             if wide:
                 from ..ops.pallas_bvh4 import build_packed_bvh4
 

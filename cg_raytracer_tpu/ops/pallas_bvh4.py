@@ -313,42 +313,41 @@ def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
     return out[1], out[2], out[3], out[4]
 
 
-def _traverse4_vmem_x2(stacks, nodes4_ref, tris_ref, rvsA, rvsB,
+def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
                        root_enc: float, any_hit: bool):
-    """Interleaved dual-stack traversal: two INDEPENDENT half-tiles walk the
+    """Interleaved multi-stack traversal: N INDEPENDENT sub-tiles walk the
     tree in one fused while-loop, one pop each per iteration.
 
     Why: pops are scalar/reduction-bound (BENCH_NOTES round-2 facts — 8-row
     tiles have 5x less vector work yet lose), and each pop's chain
     (scalar read -> vector slab -> cross-lane min -> scalar sort -> push)
-    serializes the scalar and vector units.  Two independent chains let the
-    compiler overlap one tile's scalar pop/sort with the other's vector
-    slab/MT work — and make HALF-size tiles (less tile-union divergence)
+    serializes the scalar and vector units.  Independent chains let the
+    compiler overlap one tile's scalar pop/sort with another's vector
+    slab/MT work — and make SMALLER tiles (less tile-union divergence)
     affordable, since their extra pops ride in the hidden scalar slots.
-    Returns ((tA, slotA, uA, vA), (tB, slotB, uB, vB))."""
-    stackA, tstackA, stackB, tstackB = stacks
-    stackA[0] = jnp.float32(root_enc)
-    tstackA[0] = jnp.float32(-_BIG)
-    stackB[0] = jnp.float32(root_enc)
-    tstackB[0] = jnp.float32(-_BIG)
+    Returns a list of (t, slot, u, v) per sub-tile."""
+    nway = len(rvs_list)
+    for k in range(nway):
+        stacks[2 * k][0] = jnp.float32(root_enc)
+        stacks[2 * k + 1][0] = jnp.float32(-_BIG)
 
-    def cond(c):
-        sA, sB = c
-        liveA = (sA[0] > 0) & jnp.logical_not(sA[5])
-        liveB = (sB[0] > 0) & jnp.logical_not(sB[5])
-        return liveA | liveB
+    def cond(states):
+        live = None
+        for s in states:
+            l = (s[0] > 0) & jnp.logical_not(s[5])
+            live = l if live is None else (live | l)
+        return live
 
-    def body(c):
-        sA, sB = c
-        sA = _pop_step4(stackA, tstackA, nodes4_ref, tris_ref, rvsA, sA,
-                        any_hit)
-        sB = _pop_step4(stackB, tstackB, nodes4_ref, tris_ref, rvsB, sB,
-                        any_hit)
-        return sA, sB
+    def body(states):
+        return tuple(
+            _pop_step4(stacks[2 * k], stacks[2 * k + 1], nodes4_ref,
+                       tris_ref, rvs_list[k], states[k], any_hit)
+            for k in range(nway)
+        )
 
-    sA, sB = jax.lax.while_loop(
-        cond, body, (_init_state4(rvsA[-1]), _init_state4(rvsB[-1])))
-    return (sA[1], sA[2], sA[3], sA[4]), (sB[1], sB[2], sB[3], sB[4])
+    out = jax.lax.while_loop(
+        cond, body, tuple(_init_state4(rv[-1]) for rv in rvs_list))
+    return [(s[1], s[2], s[3], s[4]) for s in out]
 
 
 def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -366,62 +365,52 @@ def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     v_ref[0] = v
 
 
-def _bvh4_kernel_x2(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _split_rows(a, nway):
+    h = a.shape[0] // nway
+    return [a[k * h:(k + 1) * h] for k in range(nway)]
+
+
+def _bvh4_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
-                    u_ref, v_ref, stackA, tstackA, stackB, tstackB,
-                    *, root_enc: float, any_hit: bool):
-    """Interleaved variant: the tile's top and bottom halves traverse as two
-    independent stacks in one fused loop (see _traverse4_vmem_x2)."""
-    rows = ox_ref.shape[1]
-    h = rows // 2
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tm = tmax_ref[0]
-    rvA = _rayvars(ox[:h], oy[:h], oz[:h], dx[:h], dy[:h], dz[:h], tm[:h])
-    rvB = _rayvars(ox[h:], oy[h:], oz[h:], dx[h:], dy[h:], dz[h:], tm[h:])
-    (tA, slA, uA, vA), (tB, slB, uB, vB) = _traverse4_vmem_x2(
-        (stackA, tstackA, stackB, tstackB), nodes4_ref, tris_ref,
-        rvA, rvB, root_enc, any_hit)
-    t_ref[0] = jnp.concatenate([tA, tB], axis=0)
-    slot_ref[0] = jnp.concatenate([slA, slB], axis=0)
-    u_ref[0] = jnp.concatenate([uA, uB], axis=0)
-    v_ref[0] = jnp.concatenate([vA, vB], axis=0)
+                    u_ref, v_ref, *stacks, root_enc: float, any_hit: bool):
+    """Interleaved variant: the tile's row bands traverse as N independent
+    stacks in one fused loop (see _traverse4_vmem_xn)."""
+    nway = len(stacks) // 2
+    parts = [_split_rows(r[0], nway)
+             for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref)]
+    rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
+    outs = _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs,
+                              root_enc, any_hit)
+    t_ref[0] = jnp.concatenate([o[0] for o in outs], axis=0)
+    slot_ref[0] = jnp.concatenate([o[1] for o in outs], axis=0)
+    u_ref[0] = jnp.concatenate([o[2] for o in outs], axis=0)
+    v_ref[0] = jnp.concatenate([o[3] for o in outs], axis=0)
 
 
-def _bvh4_bounce_kernel_x2(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                            tmax_ref, nodes4_ref, tris_ref, lights_ref,
                            t_ref, slot_ref, u_ref, v_ref, shadow_ref,
-                           stackA, tstackA, stackB, tstackB,
-                           *, root_enc: float, num_lights: int):
+                           *stacks, root_enc: float, num_lights: int):
     """Interleaved fused bounce: closest-hit then per-light shadow any-hit,
-    each as a dual-stack interleaved walk over the tile's two halves."""
-    rows = ox_ref.shape[1]
-    h = rows // 2
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tm = tmax_ref[0]
-    stacks = (stackA, tstackA, stackB, tstackB)
+    each as an N-stack interleaved walk over the tile's row bands."""
+    nway = len(stacks) // 2
+    parts = [_split_rows(r[0], nway)
+             for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref)]
+    rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
+    closest = _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs,
+                                 root_enc, any_hit=False)
 
-    def halves(a):
-        return a[:h], a[h:]
+    hits = [sl >= 0 for (_, sl, _, _) in closest]
+    pos = []
+    for k, (t, sl, _, _) in enumerate(closest):
+        th = jnp.where(hits[k], t, 0.0)
+        ox_k, oy_k, oz_k = parts[0][k], parts[1][k], parts[2][k]
+        dx_k, dy_k, dz_k = parts[3][k], parts[4][k], parts[5][k]
+        pos.append((ox_k + dx_k * th, oy_k + dy_k * th, oz_k + dz_k * th))
 
-    (oxA, oxB), (oyA, oyB), (ozA, ozB) = halves(ox), halves(oy), halves(oz)
-    (dxA, dxB), (dyA, dyB), (dzA, dzB) = halves(dx), halves(dy), halves(dz)
-    tmA, tmB = halves(tm)
-    (tA, slA, uA, vA), (tB, slB, uB, vB) = _traverse4_vmem_x2(
-        stacks, nodes4_ref, tris_ref,
-        _rayvars(oxA, oyA, ozA, dxA, dyA, dzA, tmA),
-        _rayvars(oxB, oyB, ozB, dxB, dyB, dzB, tmB),
-        root_enc, any_hit=False)
-
-    hitA, hitB = slA >= 0, slB >= 0
-    thA = jnp.where(hitA, tA, 0.0)
-    thB = jnp.where(hitB, tB, 0.0)
-    pxA, pyA, pzA = oxA + dxA * thA, oyA + dyA * thA, ozA + dzA * thA
-    pxB, pyB, pzB = oxB + dxB * thB, oyB + dyB * thB, ozB + dzB * thB
-
-    bitsA = jnp.zeros(oxA.shape, jnp.int32)
-    bitsB = jnp.zeros(oxB.shape, jnp.int32)
+    bits = [jnp.zeros(p[0].shape, jnp.int32) for p in pos]
     for li in range(num_lights):
         lrow = lights_ref[li]
 
@@ -436,18 +425,18 @@ def _bvh4_bounce_kernel_x2(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
             return _rayvars(sox, soy, soz, sdx, sdy, sdz, tmax_l)
 
-        (_, sA, _, _), (_, sB, _, _) = _traverse4_vmem_x2(
+        shadow = _traverse4_vmem_xn(
             stacks, nodes4_ref, tris_ref,
-            shadow_rv(pxA, pyA, pzA, hitA), shadow_rv(pxB, pyB, pzB, hitB),
+            [shadow_rv(*pos[k], hits[k]) for k in range(nway)],
             root_enc, any_hit=True)
-        bitsA = bitsA | ((sA >= 0).astype(jnp.int32) << li)
-        bitsB = bitsB | ((sB >= 0).astype(jnp.int32) << li)
+        for k in range(nway):
+            bits[k] = bits[k] | ((shadow[k][1] >= 0).astype(jnp.int32) << li)
 
-    t_ref[0] = jnp.concatenate([tA, tB], axis=0)
-    slot_ref[0] = jnp.concatenate([slA, slB], axis=0)
-    u_ref[0] = jnp.concatenate([uA, uB], axis=0)
-    v_ref[0] = jnp.concatenate([vA, vB], axis=0)
-    shadow_ref[0] = jnp.concatenate([bitsA, bitsB], axis=0)
+    t_ref[0] = jnp.concatenate([o[0] for o in closest], axis=0)
+    slot_ref[0] = jnp.concatenate([o[1] for o in closest], axis=0)
+    u_ref[0] = jnp.concatenate([o[2] for o in closest], axis=0)
+    v_ref[0] = jnp.concatenate([o[3] for o in closest], axis=0)
+    shadow_ref[0] = jnp.concatenate(bits, axis=0)
 
 
 def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -508,7 +497,7 @@ def _stack_scratch(interleave: int):
 def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
                any_hit=False, interpret=False, interleave=1):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
-    base = _bvh4_kernel if interleave == 1 else _bvh4_kernel_x2
+    base = _bvh4_kernel if interleave == 1 else _bvh4_kernel_xn
     kernel = functools.partial(base, root_enc=root_enc, any_hit=any_hit)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -591,7 +580,7 @@ def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
                       interpret=False, interleave=1):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     base = (_bvh4_bounce_kernel if interleave == 1
-            else _bvh4_bounce_kernel_x2)
+            else _bvh4_bounce_kernel_xn)
     kernel = functools.partial(base, root_enc=root_enc,
                                num_lights=lights.shape[0])
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),

@@ -119,28 +119,31 @@ class RenderConfig:
         # dragon 54.8 -> 50.9, monkey 40.6 -> 39.7 ms (800^2 fwd steady).
         return "4"
 
-    # Dual-stack interleaving for the 4-wide VMEM kernel: '2' splits each ray
-    # tile into two independent half-tiles traversing in ONE fused loop (one
-    # pop each per iteration).  Pops are scalar/reduction-bound (round-2
-    # measured facts); two independent chains let the scheduler overlap one
-    # half's scalar pop/sort with the other's vector slab/MT work, and make
-    # half-size tiles (less tile-union divergence) affordable.  'auto' =
-    # measured best (scripts/tpu_il_ab.py).
+    # Multi-stack interleaving for the 4-wide VMEM kernel: 'N' splits each ray
+    # tile into N independent row bands traversing in ONE fused loop (one pop
+    # each per iteration).  Pops are scalar/reduction-bound (round-2 measured
+    # facts); independent chains let the scheduler overlap one band's scalar
+    # pop/sort with another's vector slab/MT work, and make smaller tiles
+    # (less tile-union divergence) affordable.  'auto' = measured best
+    # (scripts/tpu_il_ab.py, r3_results.jsonl).
     bvh_interleave: str = "auto"
 
     def resolve_bvh_interleave(self) -> int:
-        if self.bvh_interleave not in ("auto", "1", "2"):
+        if self.bvh_interleave not in ("auto", "1", "2", "4"):
             raise ValueError(
-                f"bvh_interleave must be 'auto' | '1' | '2', got "
+                f"bvh_interleave must be 'auto' | '1' | '2' | '4', got "
                 f"{self.bvh_interleave!r}")
         if self.bvh_interleave != "auto":
             n = int(self.bvh_interleave)
         else:
-            # 'auto' = '1' until the TPU A/B (scripts/tpu_il_ab.py) flips it.
-            n = 1
-        if n == 2 and self.resolve_bvh_tile_rows() % 16:
-            # Halves must stay 8-sublane aligned.
-            return 1
+            # Measured on v5e (scripts/tpu_il_ab.py): interleave 2 wins at
+            # every tile size — with 32-row tiles: teacup 68.8 -> 64.1,
+            # dragon 39.0 -> 37.9; at the old 64-row default the gap is
+            # larger (teacup 89.2 -> 70.8, dragon 48.1 -> 38.6).
+            n = 2
+        while n > 1 and self.resolve_bvh_tile_rows(wide=True) % (8 * n):
+            # Bands must stay 8-sublane aligned.
+            n //= 2
         return n
 
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
@@ -182,17 +185,25 @@ class RenderConfig:
         # the extra MT vector work is cheaper than the pops it removes.
         return 56
 
-    def resolve_bvh_tile_rows(self) -> int:
+    def resolve_bvh_tile_rows(self, wide: bool = False) -> int:
         if self.bvh_tile_rows:
             if self.bvh_tile_rows % 8 or not (8 <= self.bvh_tile_rows <= 256):
                 raise ValueError(
                     f"bvh_tile_rows must be a multiple of 8 in [8, 256], got "
                     f"{self.bvh_tile_rows}")
             return self.bvh_tile_rows
+        if wide:
+            # Measured on v5e for the interleaved 4-wide kernel
+            # (scripts/tpu_il_ab.py): 32-row tiles beat 64/128 on teacup
+            # (70.8 -> 64.1 ms at interleave 2) and dragon (38.6 -> 37.9) —
+            # the cheaper 4-wide pops + interleave shift the
+            # divergence-vs-scalar-overhead optimum below the binary
+            # kernel's 64.
+            return 32
         # Measured on v5e (scripts/tpu_tile_ab.py): 64 rows beat 8/16/128/256
-        # on teacup and dragon — smaller tiles cut divergence (tile_sim.py:
-        # 5x less vector work at 8 rows) but per-pop scalar/reduction overhead
-        # dominates below 64.
+        # on teacup and dragon through the BINARY kernels — smaller tiles cut
+        # divergence (tile_sim.py: 5x less vector work at 8 rows) but per-pop
+        # scalar/reduction overhead dominates below 64.
         return 64
 
     def resolve_ray_order(self, num_tris: int, platform: str | None = None) -> str:

@@ -84,15 +84,16 @@ def test_bvh4_fused_bounce_contract():
     assert agree.mean() > 0.99
 
 
-def test_bvh4_interleave_matches_single_stack():
-    # interleave=2 splits the tile into two independent half-traversals; the
+@pytest.mark.parametrize("il,rows", [(2, 16), (4, 32)])
+def test_bvh4_interleave_matches_single_stack(il, rows):
+    # interleave=N splits the tile into N independent band traversals; the
     # per-ray math is identical, so results match interleave=1 bit-for-bit up
     # to coincident-t tie-breaks.
     scene = cgrt.load_scene("monkey")
     _, p4 = build_packed_bvh4(scene, max_leaf=56)
     o, d = cam_ops.generate_rays(cgrt.Camera.default(), 48, 48)
-    h1 = intersect_pallas_bvh4(scene, p4, o, d, tile_rows=16, interleave=1)
-    h2 = intersect_pallas_bvh4(scene, p4, o, d, tile_rows=16, interleave=2)
+    h1 = intersect_pallas_bvh4(scene, p4, o, d, tile_rows=rows, interleave=1)
+    h2 = intersect_pallas_bvh4(scene, p4, o, d, tile_rows=rows, interleave=il)
     t1 = np.where(np.isinf(np.asarray(h1.t)), 1e9, np.asarray(h1.t))
     t2 = np.where(np.isinf(np.asarray(h2.t)), 1e9, np.asarray(h2.t))
     assert (~np.isclose(t1, t2, atol=1e-5, rtol=1e-6)).mean() < 0.002
@@ -105,9 +106,9 @@ def test_bvh4_interleave_matches_single_stack():
     rd = jnp.asarray(rd, jnp.float32)
     tm = jnp.asarray(rng.uniform(0.5, 5.0, (n,)), jnp.float32)
     o1 = np.asarray(occluded_pallas_bvh4(scene, p4, ro, rd, tm,
-                                         tile_rows=16, interleave=1))
+                                         tile_rows=rows, interleave=1))
     o2 = np.asarray(occluded_pallas_bvh4(scene, p4, ro, rd, tm,
-                                         tile_rows=16, interleave=2))
+                                         tile_rows=rows, interleave=il))
     assert (o1 != o2).mean() < 0.005
 
 
