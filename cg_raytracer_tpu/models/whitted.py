@@ -34,6 +34,25 @@ from ..utils.config import RenderConfig
 REFLECT_EPS = 1e-3
 
 
+class AccelBundle(NamedTuple):
+    """Primary acceleration structure + a separate soft-shadow tree.
+
+    The cone soft-shadow sampler's leaf-width optimum inverts the primary
+    kernels' (its leaf MT sweeps run on [samples, 128] tiles, so triangle
+    tests are ~3x pricier relative to pops): it gets its own tree rather
+    than sharing the primary's wide leaves.  VMEM is per-pallas_call, so
+    carrying both costs nothing on-chip."""
+
+    primary: object
+    soft: object
+
+
+jax.tree_util.register_pytree_node(
+    AccelBundle, lambda b: ((b.primary, b.soft), None),
+    lambda _, ch: AccelBundle(*ch),
+)
+
+
 class Backend(NamedTuple):
     """Intersection oracle pair: closest-hit and any-hit queries.
 
@@ -44,6 +63,10 @@ class Backend(NamedTuple):
     closest: Callable  # (origins, dirs) -> Hit
     occluded: Callable  # (origins, dirs, t_max) -> bool [N]
     bounce: Optional[Callable] = None  # (origins, dirs) -> (Hit, shadow_bits)
+    # bounce + in-kernel reflection records: (origins, dirs) ->
+    # (Hit, shadow_bits, position [N,3], refl_dir [N,3], reflective [N]) —
+    # lets the two-phase record loop skip the XLA reconstruct entirely.
+    bounce_refl: Optional[Callable] = None
     # Forward-only full-trace megakernel: (origins, dirs) -> color [N,3].
     # Present only under cfg.forward_only on supported scenes; replaces the
     # whole trace_rays bounce loop with one kernel dispatch.
@@ -90,7 +113,9 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         # Small scenes: tiled brute-force kernel.  Larger scenes: the
         # tile-synchronous BVH traversal kernel (tree packed into VMEM).
         if scene.num_triangles <= cfg.pallas_brute_max_tris:
-            from ..ops.pallas_kernels import (bounce_pallas, intersect_pallas,
+            from ..ops.pallas_kernels import (bounce_pallas,
+                                              bounce_refl_pallas,
+                                              intersect_pallas,
                                               occluded_pallas,
                                               soft_shadow_counts_pallas,
                                               supports_fused_bounce,
@@ -99,9 +124,12 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                               trace_pallas)
 
             bounce = None
+            bounce_refl = None
             if supports_fused_bounce(scene):
                 bounce = lambda o, d, live=None: bounce_pallas(scene, o, d,
                                                                live=live)
+                bounce_refl = lambda o, d, live=None: bounce_refl_pallas(
+                    scene, o, d, live=live, quirk_ks_z=cfg.reference_quirks)
             trace = None
             if cfg.forward_only and supports_trace_kernel(scene):
                 trace = lambda o, d: trace_pallas(
@@ -129,6 +157,7 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 closest=lambda o, d: intersect_pallas(scene, o, d),
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
                 bounce=bounce,
+                bounce_refl=bounce_refl,
                 soft_vis=soft_vis,
                 trace=trace,
             )
@@ -144,6 +173,11 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                       supports_pallas_bvh,
                                       supports_pallas_bvh_hbm,
                                       supports_soft_shadow_kernel_bvh)
+
+        soft_bvh = None
+        if isinstance(bvh, AccelBundle):
+            soft_bvh = bvh.soft
+            bvh = bvh.primary
 
         rows = cfg.resolve_bvh_tile_rows()
 
@@ -213,10 +247,17 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 from ..ops.pallas_bvh4 import \
                     soft_shadow_counts_pallas_bvh4_cone
 
+                if not isinstance(soft_bvh, PackedBVH4):
+                    # Host-side build (outside jit; jitted callers pass
+                    # build_accel's AccelBundle).
+                    _, soft_bvh = build_packed_bvh4(
+                        scene, max_leaf=cfg.resolve_soft_bvh_max_leaf(),
+                        builder=cfg.resolve_soft_bvh_builder())
+                soft_tree = soft_bvh
                 ns = cfg.soft_shadow_samples
                 soft_vis = (lambda lpos, lrad, pos, k:
                             soft_shadow_counts_pallas_bvh4_cone(
-                                scene, packed4, pos, lpos, lrad, k, ns))
+                                scene, soft_tree, pos, lpos, lrad, k, ns))
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4(
                     scene, packed4, o, d, tile_rows=rows, interleave=il),
@@ -255,9 +296,15 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                     from ..ops.pallas_bvh import \
                         soft_shadow_counts_pallas_bvh_cone
 
+                    if not isinstance(soft_bvh, PackedBVH):
+                        _, soft_bvh = build_packed_bvh(
+                            scene,
+                            max_leaf=cfg.resolve_soft_bvh_max_leaf(),
+                            builder=cfg.resolve_soft_bvh_builder())
+                    soft_tree = soft_bvh
                     soft_vis = (lambda lpos, lrad, pos, k:
                                 soft_shadow_counts_pallas_bvh_cone(
-                                    scene, packed, pos, lpos, lrad, k, ns))
+                                    scene, soft_tree, pos, lpos, lrad, k, ns))
                 else:
                     soft_vis = (lambda lpos, lrad, pos, k:
                                 soft_shadow_counts_pallas_bvh(
@@ -422,12 +469,24 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         o, d = origins, dirs
         active = jnp.ones((n,), bool)
         for level in range(cfg.max_depth):
+            live = active if level > 0 else None
+            if backend.bounce_refl is not None:
+                # Records straight out of the kernel: hit + shadow bits +
+                # reflection ray, no XLA reconstruct in the record phase.
+                hit, bits, pos, refl, refl_ok = backend.bounce_refl(
+                    o, d, live=live)
+                records.append((o, d, hit, bits, active))
+                if level + 1 >= cfg.max_depth:
+                    break
+                active = active & refl_ok
+                o = pos + REFLECT_EPS * refl
+                d = jnp.where(active[..., None], refl, d)
+                continue
             if level > 0 and resort != "off":
                 hit, bits = _resorted_query(backend, o, d, active,
                                             scene_lo, scene_hi, resort)
             else:
-                hit, bits = backend.bounce(
-                    o, d, live=active if level > 0 else None)
+                hit, bits = backend.bounce(o, d, live=live)
             records.append((o, d, hit, bits, active))
             if level + 1 >= cfg.max_depth:
                 break
@@ -703,24 +762,44 @@ def build_accel(scene: Scene, cfg: RenderConfig):
         if supports_pallas_bvh(scene):
             leaf = cfg.resolve_pallas_bvh_max_leaf()
             wide = cfg.resolve_bvh_wide() == "4"
+            soft_cone = (scene.spherical_lights.position.shape[0] > 0
+                         and cfg.resolve_soft_shadow_kernel()
+                         and supports_soft_shadow_kernel_bvh(scene)
+                         and cfg.resolve_soft_shadow_tile() == "cone")
             if (wide and scene.spherical_lights.position.shape[0] > 0
                     and cfg.resolve_soft_shadow_kernel()
                     and supports_soft_shadow_kernel_bvh(scene)
-                    and cfg.resolve_soft_shadow_tile() != "cone"):
+                    and not soft_cone):
                 # Mirror make_backend's soft-sampler routing: only the
                 # per-SAMPLE sampler forces the binary tree; the cone
                 # sampler has a 4-wide variant.
                 wide = False
+            sleaf = cfg.resolve_soft_bvh_max_leaf()
+            sbuilder = cfg.resolve_soft_bvh_builder()
             if wide:
                 from ..ops.pallas_bvh4 import build_packed_bvh4
 
-                return _cached_accel(
+                primary = _cached_accel(
                     scene, ("pallas-vmem4", leaf, builder),
                     lambda: build_packed_bvh4(scene, max_leaf=leaf,
                                               builder=builder)[1])
-            return _cached_accel(
+                if soft_cone:
+                    soft = _cached_accel(
+                        scene, ("pallas-vmem4-soft", sleaf, sbuilder),
+                        lambda: build_packed_bvh4(scene, max_leaf=sleaf,
+                                                  builder=sbuilder)[1])
+                    return AccelBundle(primary, soft)
+                return primary
+            primary = _cached_accel(
                 scene, ("pallas-vmem", leaf, builder),
                 lambda: build_packed_bvh(scene, max_leaf=leaf, builder=builder)[1])
+            if soft_cone:
+                soft = _cached_accel(
+                    scene, ("pallas-vmem-soft", sleaf, sbuilder),
+                    lambda: build_packed_bvh(scene, max_leaf=sleaf,
+                                             builder=sbuilder)[1])
+                return AccelBundle(primary, soft)
+            return primary
         return _cached_accel(scene, ("pallas-hbm", builder),
                              lambda: build_hbm_bvh(scene, builder=builder)[1])
     return None

@@ -254,6 +254,117 @@ def _bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = shadow_bits
 
 
+def _bounce_refl_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref, tris_ref, aux_ref, lights_ref,
+                        t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                        px_ref, py_ref, pz_ref, rx_ref, ry_ref, rz_ref,
+                        refl_ref,
+                        *, num_tris, num_lights, quirk_ks_z):
+    """_bounce_kernel + in-kernel reflection records: hit position, the
+    normalized reflected view ray off the interpolated camera-facing normal,
+    and the reflective flag (any ks > 0.01; comma-operator quirk tests only
+    ks.z, main.cpp:246).  Lets the two-phase gradient structure's record
+    phase skip the XLA reconstruct entirely — the next bounce's rays come
+    straight out of this kernel (same attribute-select + normal math as the
+    trace megakernel, reconstruct_hit parity)."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax0 = tmax_ref[0]
+    zeros = lambda: jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
+
+    def sweep(_):
+        t_best = tmax0
+        slot = jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32)
+        u_best = zeros()
+        v_best = zeros()
+        for ti in range(num_tris):
+            tri = tris_ref[ti]
+            t, u, v, valid = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+            closer = valid & (t < t_best)
+            t_best = jnp.where(closer, t, t_best)
+            slot = jnp.where(closer, ti, slot)
+            u_best = jnp.where(closer, u, u_best)
+            v_best = jnp.where(closer, v, v_best)
+
+        hit = slot >= 0
+        t_hit = jnp.where(hit, t_best, 0.0)
+        px = ox + dx * t_hit
+        py = oy + dy * t_hit
+        pz = oz + dz * t_hit
+
+        shadow_bits = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+        for li in range(num_lights):
+            lrow = lights_ref[li]
+            tx = lrow[0] - px
+            ty = lrow[1] - py
+            tz = lrow[2] - pz
+            dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+            inv = 1.0 / jnp.maximum(dist, 1e-20)
+            sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+            sox = px + SHADOW_EPS * sdx
+            soy = py + SHADOW_EPS * sdy
+            soz = pz + SHADOW_EPS * sdz
+            tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+            blocked = jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32)
+            for ti in range(num_tris):
+                tri = tris_ref[ti]
+                t2, _, _, ok = _mt_tile(sox, soy, soz, sdx, sdy, sdz, tri)
+                blocked = jnp.maximum(blocked,
+                                      (ok & (t2 < tmax_l)).astype(jnp.int32))
+            shadow_bits = shadow_bits | (blocked << li)
+
+        # --- attribute select + interpolated facing normal (trace-kernel
+        # pattern; only the fields the reflection needs) ---
+        a = [zeros() for _ in range(15)]  # n0 n1 n2 (9), face (3), ks (3)
+        for ti in range(num_tris):
+            sel = slot == ti
+            arow = aux_ref[ti]
+            for j in range(12):
+                a[j] = jnp.where(sel, arow[j], a[j])
+            for j in range(12, 15):
+                a[j] = jnp.where(sel, arow[j + 3], a[j])  # ks at aux 15:18
+        (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+         fnx, fny, fnz, ksx, ksy, ksz) = a
+        w0 = 1.0 - u_best - v_best
+        nx = w0 * n0x + u_best * n1x + v_best * n2x
+        ny = w0 * n0y + u_best * n1y + v_best * n2y
+        nz = w0 * n0z + u_best * n1z + v_best * n2z
+        ninv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        facing = (fnx * dx + fny * dy + fnz * dz) < 0.0
+        flip = jnp.where(facing, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        ddn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddn * nx
+        ry = dy - 2.0 * ddn * ny
+        rz = dz - 2.0 * ddn * nz
+        rinv = 1.0 / jnp.maximum(jnp.sqrt(rx * rx + ry * ry + rz * rz), 1e-20)
+        rx, ry, rz = rx * rinv, ry * rinv, rz * rinv
+
+        if quirk_ks_z:
+            refl_ok = ksz > 0.01
+        else:
+            refl_ok = (ksx > 0.01) | (ksy > 0.01) | (ksz > 0.01)
+        refl_flag = (refl_ok & hit).astype(jnp.int32)
+        return (t_best, slot, u_best, v_best, shadow_bits,
+                px, py, pz, rx, ry, rz, refl_flag)
+
+    def dead(_):
+        return (tmax0,
+                jnp.full((RAY_ROWS, RAY_COLS), -1, jnp.int32),
+                zeros(), zeros(),
+                jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32),
+                zeros(), zeros(), zeros(), zeros(), zeros(), zeros(),
+                jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32))
+
+    outs = jax.lax.cond(jnp.max(tmax0) >= 0.0, sweep, dead, 0)
+    for ref, val in zip((t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                         px_ref, py_ref, pz_ref, rx_ref, ry_ref, rz_ref,
+                         refl_ref), outs):
+        ref[0] = val
+
+
 def _pack_rays(origins, dirs, rows: int = RAY_ROWS):
     """[N,3]+[N,3] -> tuple of six [G, rows, 128] component arrays + (n, g).
 
@@ -1040,3 +1151,66 @@ def bounce_pallas(scene: Scene, origins, dirs, interpret: bool | None = None,
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=slot, u=u, v=v)
     return hit, bits
+
+
+@functools.partial(jax.jit, static_argnames=("quirk_ks_z", "interpret"))
+def _bounce_refl_call(rays6, tmax_tiles, tri_table, aux, lights, quirk_ks_z,
+                      interpret=False):
+    g = rays6[0].shape[0]
+    kernel = functools.partial(
+        _bounce_refl_kernel, num_tris=tri_table.shape[0],
+        num_lights=lights.shape[0], quirk_ks_z=quirk_ks_z)
+    out_shape = (
+        [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32),
+         jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32)]
+        + [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32)
+           for _ in range(2)]
+        + [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32)]
+        + [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32)
+           for _ in range(6)]
+        + [jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32)]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_RAY_SPEC() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table [T, 9]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # aux table [T, 19]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 3]
+        ],
+        out_specs=[_RAY_SPEC() for _ in range(12)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, tmax_tiles, tri_table, aux, lights)
+
+
+def bounce_refl_pallas(scene: Scene, origins, dirs,
+                       interpret: bool | None = None, live=None,
+                       quirk_ks_z: bool = False):
+    """Fused bounce + in-kernel reflection records (see _bounce_refl_kernel).
+
+    Returns (Hit, shadow_bits, position [N,3], refl_dir [N,3],
+    reflective [N] bool) — everything the two-phase record loop needs to
+    construct the next bounce's rays without an XLA reconstruct."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays6, n, g = _pack_rays(origins, dirs)
+    if live is None:
+        tm_tiles = jnp.full((g, RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
+        tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
+        tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    aux = jax.lax.stop_gradient(_aux_table(scene))
+    outs = _bounce_refl_call(rays6, tm_tiles,
+                             jax.lax.stop_gradient(_tri_table(scene)),
+                             aux, lights, quirk_ks_z, interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    t, slot, u, v, bits, px, py, pz, rx, ry, rz, rf = (flat(a) for a in outs)
+    hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=slot, u=u, v=v)
+    position = jnp.stack([px, py, pz], axis=-1)
+    refl = jnp.stack([rx, ry, rz], axis=-1)
+    return hit, bits, position, refl, rf > 0

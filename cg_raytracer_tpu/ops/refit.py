@@ -90,7 +90,13 @@ def _levels_from_children(left: np.ndarray, right: np.ndarray,
 
 
 def make_refit_plan(accel, scene: Scene) -> RefitPlan:
-    """Extract the static topology of ``accel`` (BVH | PackedBVH | HBMBVH)."""
+    """Extract the static topology of ``accel`` (BVH | PackedBVH | HBMBVH |
+    PackedBVH4 | AccelBundle — a bundle yields a (primary, soft) plan pair)."""
+    from ..models.whitted import AccelBundle
+
+    if isinstance(accel, AccelBundle):
+        return (make_refit_plan(accel.primary, scene),
+                make_refit_plan(accel.soft, scene))
     tris = np.asarray(scene.triangles)
     if isinstance(accel, BVH):
         order = np.asarray(accel.tri_order)
@@ -217,6 +223,13 @@ def refit_accel(accel, scene: Scene, plan=None):
     """Return ``accel`` with AABBs + triangle tables recomputed from
     ``scene.vertices`` (jit-safe; topology unchanged).  Pass a prebuilt
     ``plan`` inside training loops — extracting it is a host-side pass."""
+    from ..models.whitted import AccelBundle
+
+    if isinstance(accel, AccelBundle):
+        if plan is None:
+            plan = make_refit_plan(accel, scene)
+        return AccelBundle(refit_accel(accel.primary, scene, plan[0]),
+                           refit_accel(accel.soft, scene, plan[1]))
     if plan is None:
         plan = make_refit_plan(accel, scene)
     p0, p1, p2, live = _slot_vertices(plan, scene)

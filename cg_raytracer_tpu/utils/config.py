@@ -293,6 +293,37 @@ class RenderConfig:
         # 'auto' = TPU only, pending the headline A/B (scripts/tpu_shade_ab.py).
         return platform == "tpu"
 
+    # Leaf width for the soft-shadow sampler's OWN tree (0 = auto).  The cone
+    # sampler's leaf MT sweeps run on [samples, 128] tiles — triangle tests
+    # are ~3x pricier relative to pops than in the primary kernels, so its
+    # optimum sits at tight leaves while the primary kernels want 56.
+    soft_bvh_max_leaf: int = 0
+
+    def resolve_soft_bvh_max_leaf(self) -> int:
+        if self.soft_bvh_max_leaf:
+            if self.soft_bvh_max_leaf < 1:
+                raise ValueError("soft_bvh_max_leaf must be positive")
+            return self.soft_bvh_max_leaf
+        # 'auto' = 14 (one packed row) pending the TPU A/B
+        # (scripts/tpu_r3c.py cone_tree).
+        return 14
+
+    # Split rule for the soft-shadow tree ('auto' | 'median' | 'sah').
+    soft_bvh_builder: str = "auto"
+
+    def resolve_soft_bvh_builder(self) -> str:
+        if self.soft_bvh_builder not in ("auto", "median", "sah"):
+            raise ValueError(
+                f"soft_bvh_builder must be 'auto' | 'median' | 'sah', got "
+                f"{self.soft_bvh_builder!r}")
+        if self.soft_bvh_builder != "auto":
+            return self.soft_bvh_builder
+        # The cone traversal is an any-hit over a narrow union; the
+        # round-3 measurements suggest SAH's tighter-but-more-numerous cuts
+        # hurt it (monkey_spherical 1074 ms median vs 1366 ms SAH through the
+        # binary cone) — A/B'd properly by scripts/tpu_r3c.py cone_tree.
+        return "median"
+
     def resolve_soft_shadow_tile(self) -> str:
         if self.soft_shadow_tile not in ("auto", "sample", "cone"):
             raise ValueError(
