@@ -67,6 +67,10 @@ class Backend(NamedTuple):
     # (Hit, shadow_bits, position [N,3], refl_dir [N,3], reflective [N]) —
     # lets the two-phase record loop skip the XLA reconstruct entirely.
     bounce_refl: Optional[Callable] = None
+    # Whole record phase in one dispatch: (origins, dirs) -> list of
+    # per-level (o, d, Hit, shadow_bits, active) — the two-phase record
+    # format with no HBM round trips between levels.
+    record_trace: Optional[Callable] = None
     # Forward-only full-trace megakernel: (origins, dirs) -> color [N,3].
     # Present only under cfg.forward_only on supported scenes; replaces the
     # whole trace_rays bounce loop with one kernel dispatch.
@@ -125,11 +129,17 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
 
             bounce = None
             bounce_refl = None
+            record_trace = None
             if supports_fused_bounce(scene):
+                from ..ops.pallas_kernels import record_trace_pallas
+
                 bounce = lambda o, d, live=None: bounce_pallas(scene, o, d,
                                                                live=live)
                 bounce_refl = lambda o, d, live=None: bounce_refl_pallas(
                     scene, o, d, live=live, quirk_ks_z=cfg.reference_quirks)
+                record_trace = lambda o, d: record_trace_pallas(
+                    scene, o, d, cfg.max_depth,
+                    quirk_ks_z=cfg.reference_quirks)
             trace = None
             if cfg.forward_only and supports_trace_kernel(scene):
                 trace = lambda o, d: trace_pallas(
@@ -158,6 +168,7 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 occluded=lambda o, d, tm: occluded_pallas(scene, o, d, tm),
                 bounce=bounce,
                 bounce_refl=bounce_refl,
+                record_trace=record_trace,
                 soft_vis=soft_vis,
                 trace=trace,
             )
@@ -384,6 +395,53 @@ def _resorted_query(backend: Backend, o, d, active, lo, hi, mode):
     return jax.tree_util.tree_map(lambda x: x[inv], hit), None
 
 
+def _two_phase_records(scene, sg_scene, origins, dirs, cfg, backend, resort,
+                       scene_lo, scene_hi):
+    """Phase 1 of the two-phase gradient structure: per-level oracle records
+    (o, d, hit, shadow_bits, active-in), geometry/masks only (stop-grad
+    scene).  The reflective test and the reflection rays use only
+    stop-gradded quantities the one-phase path also never differentiates
+    (masks are discrete; o/d feed stop-gradded oracle kernels), so gradients
+    are unchanged — only the partial-eval boundary moves."""
+    n = origins.shape[0]
+    records = []
+    o, d = origins, dirs
+    active = jnp.ones((n,), bool)
+    for level in range(cfg.max_depth):
+        live = active if level > 0 else None
+        if backend.bounce_refl is not None:
+            # Records straight out of the kernel: hit + shadow bits +
+            # reflection ray, no XLA reconstruct in the record phase.
+            hit, bits, pos, refl, refl_ok = backend.bounce_refl(
+                o, d, live=live)
+            records.append((o, d, hit, bits, active))
+            if level + 1 >= cfg.max_depth:
+                break
+            active = active & refl_ok
+            o = pos + REFLECT_EPS * refl
+            d = jnp.where(active[..., None], refl, d)
+            continue
+        if level > 0 and resort != "off":
+            hit, bits = _resorted_query(backend, o, d, active,
+                                        scene_lo, scene_hi, resort)
+        else:
+            hit, bits = backend.bounce(o, d, live=live)
+        records.append((o, d, hit, bits, active))
+        if level + 1 >= cfg.max_depth:
+            break
+        surf = reconstruct_hit(sg_scene, o, d, hit)
+        lit = active & surf.valid
+        if cfg.reference_quirks:
+            reflective = surf.ks[..., 2] > 0.01
+        else:
+            reflective = jnp.any(surf.ks > 0.01, axis=-1)
+        active = lit & reflective
+        refl_dir = safe_normalize(reflect(d, surf.normal))
+        o = surf.position + REFLECT_EPS * refl_dir
+        d = jnp.where(active[..., None], refl_dir, d)
+    return records
+
+
 def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend, key,
                sample_constrain=None):
     """Iterative Whitted trace of a ray batch -> color [N,3].
@@ -465,41 +523,13 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         # discrete; o/d feed stop-gradded oracle kernels), so gradients are
         # unchanged — only the partial-eval boundary moves.
         sg_scene = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
-        records = []
-        o, d = origins, dirs
-        active = jnp.ones((n,), bool)
-        for level in range(cfg.max_depth):
-            live = active if level > 0 else None
-            if backend.bounce_refl is not None:
-                # Records straight out of the kernel: hit + shadow bits +
-                # reflection ray, no XLA reconstruct in the record phase.
-                hit, bits, pos, refl, refl_ok = backend.bounce_refl(
-                    o, d, live=live)
-                records.append((o, d, hit, bits, active))
-                if level + 1 >= cfg.max_depth:
-                    break
-                active = active & refl_ok
-                o = pos + REFLECT_EPS * refl
-                d = jnp.where(active[..., None], refl, d)
-                continue
-            if level > 0 and resort != "off":
-                hit, bits = _resorted_query(backend, o, d, active,
-                                            scene_lo, scene_hi, resort)
-            else:
-                hit, bits = backend.bounce(o, d, live=live)
-            records.append((o, d, hit, bits, active))
-            if level + 1 >= cfg.max_depth:
-                break
-            surf = reconstruct_hit(sg_scene, o, d, hit)
-            lit = active & surf.valid
-            if cfg.reference_quirks:
-                reflective = surf.ks[..., 2] > 0.01
-            else:
-                reflective = jnp.any(surf.ks > 0.01, axis=-1)
-            active = lit & reflective
-            refl_dir = safe_normalize(reflect(d, surf.normal))
-            o = surf.position + REFLECT_EPS * refl_dir
-            d = jnp.where(active[..., None], refl_dir, d)
+        if backend.record_trace is not None:
+            records = backend.record_trace(origins, dirs)
+        else:
+            records = _two_phase_records(scene, sg_scene, origins, dirs, cfg,
+                                         backend, resort,
+                                         scene_lo if resort != "off" else None,
+                                         scene_hi if resort != "off" else None)
 
         # --- Phase 2: differentiable shade chain over the records.
         color = jnp.zeros((n, 3), jnp.float32)

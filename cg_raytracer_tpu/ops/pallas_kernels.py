@@ -169,6 +169,7 @@ def _anyhit_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 
 SHADOW_EPS = 1e-3  # shading.SHADOW_EPS (main.cpp:110-111)
+REFLECT_EPS = 1e-3  # models/whitted.py::REFLECT_EPS (main.cpp:252-256)
 MAX_FUSED_LIGHTS = 30  # shadow bits live in one int32
 
 
@@ -254,22 +255,14 @@ def _bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = shadow_bits
 
 
-def _bounce_refl_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                        tmax_ref, tris_ref, aux_ref, lights_ref,
-                        t_ref, slot_ref, u_ref, v_ref, shadow_ref,
-                        px_ref, py_ref, pz_ref, rx_ref, ry_ref, rz_ref,
-                        refl_ref,
-                        *, num_tris, num_lights, quirk_ks_z):
-    """_bounce_kernel + in-kernel reflection records: hit position, the
-    normalized reflected view ray off the interpolated camera-facing normal,
-    and the reflective flag (any ks > 0.01; comma-operator quirk tests only
-    ks.z, main.cpp:246).  Lets the two-phase gradient structure's record
-    phase skip the XLA reconstruct entirely — the next bounce's rays come
-    straight out of this kernel (same attribute-select + normal math as the
-    trace megakernel, reconstruct_hit parity)."""
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tmax0 = tmax_ref[0]
+def _bounce_refl_tile(ox, oy, oz, dx, dy, dz, tmax0, tris_ref, aux_ref,
+                      lights_ref, num_tris, num_lights, quirk_ks_z):
+    """One fused bounce + reflection-record level on an in-register tile:
+    closest sweep, per-light shadow bits, attribute select, interpolated
+    facing normal, normalized reflected ray, reflective flag (any ks > 0.01;
+    the comma-operator quirk tests only ks.z, main.cpp:246).  Dead-tile
+    early-exit on max(tmax0) < 0.  Returns 12 tiles:
+    (t, slot, u, v, bits, px, py, pz, rx, ry, rz, refl_flag)."""
     zeros = lambda: jnp.zeros((RAY_ROWS, RAY_COLS), jnp.float32)
 
     def sweep(_):
@@ -358,11 +351,67 @@ def _bounce_refl_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 zeros(), zeros(), zeros(), zeros(), zeros(), zeros(),
                 jnp.zeros((RAY_ROWS, RAY_COLS), jnp.int32))
 
-    outs = jax.lax.cond(jnp.max(tmax0) >= 0.0, sweep, dead, 0)
+    return jax.lax.cond(jnp.max(tmax0) >= 0.0, sweep, dead, 0)
+
+
+def _bounce_refl_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref, tris_ref, aux_ref, lights_ref,
+                        t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                        px_ref, py_ref, pz_ref, rx_ref, ry_ref, rz_ref,
+                        refl_ref,
+                        *, num_tris, num_lights, quirk_ks_z):
+    """_bounce_kernel + in-kernel reflection records (see _bounce_refl_tile):
+    lets the two-phase gradient structure's record phase skip the XLA
+    reconstruct entirely — the next bounce's rays come straight out of this
+    kernel (same attribute-select + normal math as the trace megakernel,
+    reconstruct_hit parity)."""
+    outs = _bounce_refl_tile(ox_ref[0], oy_ref[0], oz_ref[0],
+                             dx_ref[0], dy_ref[0], dz_ref[0], tmax_ref[0],
+                             tris_ref, aux_ref, lights_ref,
+                             num_tris, num_lights, quirk_ks_z)
     for ref, val in zip((t_ref, slot_ref, u_ref, v_ref, shadow_ref,
                          px_ref, py_ref, pz_ref, rx_ref, ry_ref, rz_ref,
                          refl_ref), outs):
         ref[0] = val
+
+
+def _record_trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tmax_ref, tris_ref, aux_ref, lights_ref,
+                         *out_refs, num_tris, num_lights, max_depth,
+                         quirk_ks_z):
+    """Whole record phase in ONE dispatch: every bounce level's closest hit,
+    shadow bits, and next-bounce rays computed in-register (the trace
+    megakernel's loop, emitting records instead of color).
+
+    out_refs layout: per level (t, slot, bits) x max_depth, then per level
+    >= 1 (ox, oy, oz, dx, dy, dz, active) x (max_depth - 1)."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    lvl_refs = out_refs[:3 * max_depth]
+    ray_refs = out_refs[3 * max_depth:]
+    for level in range(max_depth):
+        (t, slot, u, v, bits, px, py, pz, rx, ry, rz, rf) = _bounce_refl_tile(
+            ox, oy, oz, dx, dy, dz, tmax, tris_ref, aux_ref, lights_ref,
+            num_tris, num_lights, quirk_ks_z)
+        lvl_refs[3 * level][0] = t
+        lvl_refs[3 * level + 1][0] = slot
+        lvl_refs[3 * level + 2][0] = bits
+        if level + 1 >= max_depth:
+            break
+        active = (rf > 0) & (tmax >= 0.0)
+        af = active
+        ox = px + REFLECT_EPS * rx
+        oy = py + REFLECT_EPS * ry
+        oz = pz + REFLECT_EPS * rz
+        dx = jnp.where(af, rx, dx)
+        dy = jnp.where(af, ry, dy)
+        dz = jnp.where(af, rz, dz)
+        tmax = jnp.where(af, jnp.float32(jnp.inf), -1.0)
+        base = 7 * level
+        for j, val in enumerate((ox, oy, oz, dx, dy, dz)):
+            ray_refs[base + j][0] = val
+        ray_refs[base + 6][0] = active.astype(jnp.int32)
 
 
 def _pack_rays(origins, dirs, rows: int = RAY_ROWS):
@@ -784,7 +833,6 @@ def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, 
 # unrolled sweeps, per-triangle attribute selects).
 # ---------------------------------------------------------------------------
 
-REFLECT_EPS = 1e-3  # models/whitted.py::REFLECT_EPS (main.cpp:252-256)
 
 
 def _sphere_tile(ox, oy, oz, dx, dy, dz, a2, cx, cy, cz, rad):
@@ -1182,6 +1230,83 @@ def _bounce_refl_call(rays6, tmax_tiles, tri_table, aux, lights, quirk_ks_z,
         out_shape=out_shape,
         interpret=interpret,
     )(*rays6, tmax_tiles, tri_table, aux, lights)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "quirk_ks_z",
+                                             "interpret"))
+def _record_trace_call(rays6, tmax_tiles, tri_table, aux, lights, max_depth,
+                       quirk_ks_z, interpret=False):
+    g = rays6[0].shape[0]
+    kernel = functools.partial(
+        _record_trace_kernel, num_tris=tri_table.shape[0],
+        num_lights=lights.shape[0], max_depth=max_depth,
+        quirk_ks_z=quirk_ks_z)
+    f32 = lambda: jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.float32)
+    i32 = lambda: jax.ShapeDtypeStruct((g, RAY_ROWS, RAY_COLS), jnp.int32)
+    out_shape = []
+    for _ in range(max_depth):
+        out_shape += [f32(), i32(), i32()]  # t, slot, bits
+    for _ in range(max_depth - 1):
+        out_shape += [f32()] * 6 + [i32()]  # o, d, active
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_RAY_SPEC() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[_RAY_SPEC() for _ in range(len(out_shape))],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, tmax_tiles, tri_table, aux, lights)
+
+
+def record_trace_pallas(scene: Scene, origins, dirs, max_depth: int,
+                        interpret: bool | None = None,
+                        quirk_ks_z: bool = False):
+    """All bounce levels' oracle records in ONE kernel dispatch.
+
+    Returns a list of per-level (o [N,3], d [N,3], Hit, shadow_bits [N],
+    active [N]) — exactly the two-phase record-loop format (trace_rays), with
+    no intermediate HBM round trips between levels."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays6, n, g = _pack_rays(origins, dirs)
+    tm_tiles = jnp.full((g, RAY_ROWS, RAY_COLS), jnp.inf, jnp.float32)
+    pad = g * RAY_TILE - n
+    if pad:
+        tm = jnp.pad(jnp.full((n,), jnp.inf, jnp.float32), (0, pad),
+                     constant_values=-1.0)
+        tm_tiles = tm.reshape(g, RAY_ROWS, RAY_COLS)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    aux = jax.lax.stop_gradient(_aux_table(scene))
+    outs = _record_trace_call(rays6, tm_tiles,
+                              jax.lax.stop_gradient(_tri_table(scene)),
+                              aux, lights, max_depth, quirk_ks_z,
+                              interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    lvl = outs[:3 * max_depth]
+    ray = outs[3 * max_depth:]
+    records = []
+    o, d = origins, dirs
+    active = jnp.ones((n,), bool)
+    for level in range(max_depth):
+        t = flat(lvl[3 * level])
+        slot = flat(lvl[3 * level + 1])
+        bits = flat(lvl[3 * level + 2])
+        hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=slot,
+                  u=jnp.zeros_like(t), v=jnp.zeros_like(t))
+        records.append((o, d, hit, bits, active))
+        if level + 1 >= max_depth:
+            break
+        base = 7 * level
+        o = jnp.stack([flat(ray[base + j]) for j in range(3)], axis=-1)
+        d = jnp.stack([flat(ray[base + 3 + j]) for j in range(3)], axis=-1)
+        active = flat(ray[base + 6]) > 0
+    return records
 
 
 def bounce_refl_pallas(scene: Scene, origins, dirs,

@@ -162,12 +162,23 @@ def _shade_fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       prim_ref, bits_ref, tris_ref, aux_ref, lights_ref,
                       *out_refs, num_tris, num_lights):
     slot = prim_ref[0]
-    hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
-    fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
-    outs = _shade_math(fields, _light_scalars(lights_ref, num_lights),
-                       (ox_ref[0], oy_ref[0], oz_ref[0]),
-                       (dx_ref[0], dy_ref[0], dz_ref[0]),
-                       bits_ref[0], hit_f)
+
+    def live(_):
+        hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
+        fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
+        return _shade_math(fields, _light_scalars(lights_ref, num_lights),
+                           (ox_ref[0], oy_ref[0], oz_ref[0]),
+                           (dx_ref[0], dy_ref[0], dz_ref[0]),
+                           bits_ref[0], hit_f)
+
+    def dead(_):
+        z = jnp.zeros(slot.shape, jnp.float32)
+        return (z,) * 12
+
+    # Dead-tile early-exit: every output is miss-gated to zero, so a tile
+    # with no hits (~98% of tiles at bounce 1 of the Cornell headline) skips
+    # the gather + Phong entirely.
+    outs = jax.lax.cond(jnp.max(slot) >= 0, live, dead, 0)
     for ref, val in zip(out_refs, outs):
         ref[0] = val
 
@@ -180,35 +191,46 @@ def _shade_bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     ct_refs = ct_refs_and_outs[:12]
     dfields_ref, dlights_ref = ct_refs_and_outs[12], ct_refs_and_outs[13]
     slot = prim_ref[0]
-    hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
-    fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
-    lscal = _light_scalars(lights_ref, num_lights)
-    o3 = (ox_ref[0], oy_ref[0], oz_ref[0])
-    d3 = (dx_ref[0], dy_ref[0], dz_ref[0])
-    bits = bits_ref[0]
 
-    # The same math re-traced under jax.vjp: elementwise-only, so it
-    # legalizes in Mosaic; gradient semantics match XLA autodiff by
-    # construction.
-    def f(fields_, lscal_):
-        return _shade_math(fields_, lscal_, o3, d3, bits, hit_f)
+    def live(_):
+        hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
+        fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
+        lscal = _light_scalars(lights_ref, num_lights)
+        o3 = (ox_ref[0], oy_ref[0], oz_ref[0])
+        d3 = (dx_ref[0], dy_ref[0], dz_ref[0])
+        bits = bits_ref[0]
 
-    _, vjp_fn = jax.vjp(f, fields, lscal)
-    cts = tuple(r[0] for r in ct_refs)
-    d_fields, d_lights = vjp_fn(cts)
+        # The same math re-traced under jax.vjp: elementwise-only, so it
+        # legalizes in Mosaic; gradient semantics match XLA autodiff by
+        # construction.
+        def f(fields_, lscal_):
+            return _shade_math(fields_, lscal_, o3, d3, bits, hit_f)
 
+        _, vjp_fn = jax.vjp(f, fields, lscal)
+        cts = tuple(r[0] for r in ct_refs)
+        d_fields, d_lights = vjp_fn(cts)
+
+        # Per-light scalar cotangents -> lanes li*8 + c of row 0.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 0)
+        acc = jnp.zeros((8, RAY_COLS), jnp.float32)
+        for li in range(num_lights):
+            for c in range(6):
+                val = d_lights[li][c]
+                acc = acc + jnp.where((row == 0) & (lane == li * 8 + c),
+                                      val, 0.0)
+        return tuple(d_fields) + (acc,)
+
+    def dead(_):
+        z = lambda: jnp.zeros(slot.shape, jnp.float32)
+        return tuple(z() for _ in range(_NFIELD)) + (
+            jnp.zeros((8, RAY_COLS), jnp.float32),)
+
+    # Dead-tile early-exit (miss lanes contribute zero cotangents anyway).
+    outs = jax.lax.cond(jnp.max(slot) >= 0, live, dead, 0)
     for j in range(_NFIELD):
-        dfields_ref[0, j] = d_fields[j]
-
-    # Per-light scalar cotangents -> lanes li*8 + c of row 0.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 0)
-    acc = jnp.zeros((8, RAY_COLS), jnp.float32)
-    for li in range(num_lights):
-        for c in range(6):
-            val = d_lights[li][c]
-            acc = acc + jnp.where((row == 0) & (lane == li * 8 + c), val, 0.0)
-    dlights_ref[0] = acc
+        dfields_ref[0, j] = outs[j]
+    dlights_ref[0] = outs[_NFIELD]
 
 
 def _ray_spec(rows):
@@ -313,16 +335,23 @@ def _shade_core_bwd(interpret, res, cts):
         rays6, prim_t, bits_t, tri_table, aux, lights, ct_tiles,
         interpret=interpret)
 
-    # [G, 28, rows, 128] -> [N, 28] -> one-hot^T matmul -> [T, 28].
+    # [G, 28, rows*128] x [G, rows*128, T] batched matmul -> [28, T]: the
+    # one-hot transpose without ever transposing the kernel's d_fields
+    # layout (a moveaxis here measured as a full 112 MB relayout).
     num_tris = tri_table.shape[0]
-    d_rows = jnp.moveaxis(d_fields, 1, 3).reshape(-1, _NFIELD)[:n]
-    onehot = jax.nn.one_hot(jnp.clip(prim, 0, num_tris - 1), num_tris,
-                            dtype=jnp.float32)
-    onehot = onehot * ((prim >= 0) & (prim < num_tris)
-                       ).astype(jnp.float32)[:, None]
-    d_packed = jnp.dot(onehot.T, d_rows,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [T, 28]
+    g = d_fields.shape[0]
+    per = d_fields.shape[2] * d_fields.shape[3]
+    d_rows = d_fields.reshape(g, _NFIELD, per)
+    prim_flat = prim_t.reshape(g, per)
+    onehot = jax.nn.one_hot(prim_flat, num_tris, dtype=jnp.float32)
+    # (padding/miss lanes carry prim -1 -> all-zero one-hot rows; their
+    # d_fields are gated to zero in-kernel as well)
+    d_packed = jax.lax.dot_general(
+        d_rows, onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [G, 28, T]
+    d_packed = jnp.sum(d_packed, axis=0).T  # [T, 28]
     d_tri = d_packed[:, :9]
     d_aux = d_packed[:, 9:]
 

@@ -76,6 +76,11 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
 
     if include_bwd:
         params = material_params(scn)
+        if cfg.grad_two_phase == "auto":
+            # Mirror optimize(): material/light-only differentiation selects
+            # the two-phase gradient structure (exact for these params,
+            # measured faster on TPU — scripts/tpu_r3b.py headline).
+            cfg = dataclasses.replace(cfg, grad_two_phase="on")
 
         def loss_fn(params_, scn_, cam_, key_):
             scn_p = apply_material_params(scn_, params_)
