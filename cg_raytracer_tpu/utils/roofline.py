@@ -29,7 +29,12 @@ is impossible, and fractions are conservative).
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+
+
+def _nullctx():
+    return contextlib.nullcontext()
 
 # ---------------------------------------------------------------------------
 # Chip model
@@ -303,7 +308,21 @@ def bvh_visit_stats(bvh, origins, dirs, t_max=None, max_stack: int = 64) -> dict
         out = jax.lax.while_loop(cond, body, state)
         return out["n_int"], out["n_leaf_rows"]
 
-    n_int, n_rows = jax.jit(jax.vmap(ray_fn))(origins, dirs, t0)
+    # Pin the count to CPU when one is registered: this vmapped per-ray
+    # while-loop is exactly the jnp-traversal shape that device-faults on
+    # TPU (observed here at monkey scale during the round-3 roofline run,
+    # not just the previously-known 320K-tri case), and it is pure
+    # counting — platform-irrelevant.  Run measurement scripts with
+    # JAX_PLATFORMS=axon,cpu (or tpu,cpu) so the CPU backend exists.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullctx()
+    with ctx:
+        n_int, n_rows = jax.jit(jax.vmap(ray_fn))(
+            jax.device_put(origins, cpu), jax.device_put(dirs, cpu),
+            jax.device_put(t0, cpu))
     return {
         "mean_internal_visits": float(jnp.mean(n_int)),
         "mean_leaf_rows": float(jnp.mean(n_rows)),

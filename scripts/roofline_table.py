@@ -31,14 +31,15 @@ from cg_raytracer_tpu.utils import roofline as rl
 WIDTH = HEIGHT = 800
 SAMPLE_STRIDE = 4  # visit stats from every 4th ray (40K of 640K)
 
-# Measured steady-state ms/frame at 800x800 fwd (BENCH_NOTES Table 2 repro).
+# Measured steady-state ms/frame at 800x800 fwd (BENCH_NOTES round-3
+# Table 2 repro).
 MEASURED_MS = {
-    "cornell_box": 7.4,
-    "cornell_box_spherical_light": 149.5,
-    "monkey": 59.4,
-    "dragon": 81.4,
-    "teacup": 171.0,
-    "donut": 142.8,
+    "cornell_box": 4.46,
+    "cornell_box_spherical_light": 152.2,
+    "monkey": 33.3,
+    "dragon": 34.2,
+    "teacup": 61.2,
+    "donut": 105.3,
 }
 
 

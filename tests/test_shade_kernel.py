@@ -135,3 +135,40 @@ def test_end_to_end_two_phase_kernel_render_and_grads(cornell):
     for k in params:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("depth,quirks", [(3, False), (2, True)])
+def test_record_trace_matches_one_phase_at_depth(cornell, depth, quirks):
+    # The record-trace megakernel's per-level records (incl. in-kernel
+    # reflection rays and the ks-comma quirk) must reproduce the one-phase
+    # render at any depth.
+    cam = cgrt.Camera.default()
+    key = jax.random.PRNGKey(9)
+    cfg_ref = cgrt.RenderConfig(width=24, height=24, backend="pallas",
+                                max_depth=depth, reference_quirks=quirks,
+                                grad_two_phase="off")
+    cfg_k = dataclasses.replace(cfg_ref, grad_two_phase="on",
+                                shade_kernel="on")
+    img0 = np.asarray(render_image(cornell, cam, cfg_ref, key=key))
+    img1 = np.asarray(render_image(cornell, cam, cfg_k, key=key))
+    np.testing.assert_allclose(img0, img1, rtol=1e-5, atol=1e-6)
+
+
+def test_bounce_refl_matches_bounce_plus_reconstruct(cornell, records):
+    from cg_raytracer_tpu.ops.pallas_kernels import bounce_refl_pallas
+    from cg_raytracer_tpu.ops.linalg import reflect, safe_normalize
+
+    o, d, hit, bits = records
+    h2, b2, pos, refl, rf = bounce_refl_pallas(cornell, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit.prim_id),
+                                  np.asarray(h2.prim_id))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(b2))
+    surf = reconstruct_hit(cornell, o, d, hit)
+    v = np.asarray(surf.valid)
+    np.testing.assert_allclose(np.asarray(pos)[v], np.asarray(surf.position)[v],
+                               rtol=1e-5, atol=1e-6)
+    refl_x = safe_normalize(reflect(d, surf.normal))
+    np.testing.assert_allclose(np.asarray(refl)[v], np.asarray(refl_x)[v],
+                               rtol=1e-4, atol=1e-5)
+    rf_x = v & (np.asarray(surf.ks) > 0.01).any(-1)
+    np.testing.assert_array_equal(np.asarray(rf), rf_x)
