@@ -60,15 +60,18 @@ def probe(num_tris, num_rays, max_stack, timeout=1200):
 def main():
     out = open("bvh_fault_probes.jsonl", "a")
     # Coarse grid: triangles x rays at the default stack, then stack depth.
+    # Round-3 datapoint: a DIFFERENT vmapped while-loop (the roofline
+    # visit-stats counter) faulted the worker at monkey scale (968 tris x
+    # 40K rays) — so small-scale probes and a repeat run (flakiness check)
+    # come first; the highest-value configs lead in case the tunnel wedges.
     grid = [
+        (1_000, 40_000, 64),       # today's small-scale fault neighborhood
+        (1_000, 40_000, 64),       # repeat: flaky or deterministic?
+        (320_000, 640_000, 64),    # the known-faulting config
         (40_000, 160_000, 64),
-        (80_000, 160_000, 64),
         (160_000, 160_000, 64),
         (320_000, 160_000, 64),
-        (320_000, 320_000, 64),
-        (320_000, 640_000, 64),   # the known-faulting config
-        (320_000, 640_000, 32),   # shallower stack
-        (320_000, 640_000, 128),  # deeper stack
+        (320_000, 640_000, 32),    # shallower stack
     ]
     for num_tris, num_rays, max_stack in grid:
         try:
