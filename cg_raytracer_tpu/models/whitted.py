@@ -193,15 +193,16 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
         rows = cfg.resolve_bvh_tile_rows()
 
         def _hbm_backend(hbm):
+            hrows = cfg.resolve_bvh_tile_rows(hbm=True)
             bounce = None
             if supports_fused_bounce_bvh_hbm(scene):
                 bounce = lambda o, d, live=None: bounce_pallas_bvh_hbm(
-                    scene, hbm, o, d, tile_rows=rows, live=live)
+                    scene, hbm, o, d, tile_rows=hrows, live=live)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh_hbm(
-                    scene, hbm, o, d, tile_rows=rows),
+                    scene, hbm, o, d, tile_rows=hrows),
                 occluded=lambda o, d, tm: occluded_pallas_bvh_hbm(
-                    scene, hbm, o, d, tm, tile_rows=rows),
+                    scene, hbm, o, d, tm, tile_rows=hrows),
                 bounce=bounce,
             )
 

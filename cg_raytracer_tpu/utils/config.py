@@ -185,13 +185,21 @@ class RenderConfig:
         # the extra MT vector work is cheaper than the pops it removes.
         return 56
 
-    def resolve_bvh_tile_rows(self, wide: bool = False) -> int:
+    def resolve_bvh_tile_rows(self, wide: bool = False,
+                              hbm: bool = False) -> int:
         if self.bvh_tile_rows:
             if self.bvh_tile_rows % 8 or not (8 <= self.bvh_tile_rows <= 256):
                 raise ValueError(
                     f"bvh_tile_rows must be a multiple of 8 in [8, 256], got "
                     f"{self.bvh_tile_rows}")
             return self.bvh_tile_rows
+        if hbm:
+            # Measured on v5e (r3_results.jsonl donut_rows): the
+            # HBM-streaming kernel prefers 32-row tiles — donut 109.6 (64)
+            # -> 82.0 ms (32); 128 rows: 188.6.  Smaller tile-unions mean
+            # fewer leaf-row DMAs, and the DMA waits already hide the extra
+            # per-pop scalar overhead.
+            return 32
         if wide:
             # Measured on v5e for the interleaved 4-wide kernel
             # (scripts/tpu_il_ab.py): 32-row tiles beat 64/128 on teacup

@@ -39,7 +39,7 @@ MEASURED_MS = {
     "monkey": 33.3,
     "dragon": 34.2,
     "teacup": 61.2,
-    "donut": 105.3,
+    "donut": 82.0,
 }
 
 
