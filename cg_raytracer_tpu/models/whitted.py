@@ -396,7 +396,7 @@ def _resorted_query(backend: Backend, o, d, active, lo, hi, mode):
     return jax.tree_util.tree_map(lambda x: x[inv], hit), None
 
 
-def _two_phase_records(scene, sg_scene, origins, dirs, cfg, backend, resort,
+def _two_phase_records(sg_scene, origins, dirs, cfg, backend, resort,
                        scene_lo, scene_hi):
     """Phase 1 of the two-phase gradient structure: per-level oracle records
     (o, d, hit, shadow_bits, active-in), geometry/masks only (stop-grad
@@ -527,7 +527,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         if backend.record_trace is not None:
             records = backend.record_trace(origins, dirs)
         else:
-            records = _two_phase_records(scene, sg_scene, origins, dirs, cfg,
+            records = _two_phase_records(sg_scene, origins, dirs, cfg,
                                          backend, resort,
                                          scene_lo if resort != "off" else None,
                                          scene_hi if resort != "off" else None)

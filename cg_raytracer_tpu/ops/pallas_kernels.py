@@ -1269,7 +1269,14 @@ def record_trace_pallas(scene: Scene, origins, dirs, max_depth: int,
 
     Returns a list of per-level (o [N,3], d [N,3], Hit, shadow_bits [N],
     active [N]) — exactly the two-phase record-loop format (trace_rays), with
-    no intermediate HBM round trips between levels."""
+    no intermediate HBM round trips between levels.
+
+    NOTE: the returned Hit carries u = v = 0 placeholders (ADVICE r3).  Both
+    phase-2 consumers (reconstruct_hit and the fused shade kernel) recompute
+    u/v differentiably from prim_id, so emitting the kernel's per-level u/v
+    would only add two output tiles per level of dead traffic; any NEW
+    consumer that reads hit.u/hit.v directly must not accept records from
+    here."""
     if interpret is None:
         interpret = _default_interpret()
     origins = jax.lax.stop_gradient(origins)

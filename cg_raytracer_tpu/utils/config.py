@@ -39,7 +39,8 @@ class RenderConfig:
     # = tile rows are pixels and tile LANES are samples, so one traversal per
     # 128 samples serves the whole tile (all samples of a pixel share an
     # origin and a narrow cone toward the light — main.cpp:166-218).
-    # 'auto' = measured best per scene class (scripts/tpu_soft_cone_ab.py).
+    # 'auto' = measured best per scene class (scripts/tpu_r3_sweep.py
+    # soft_cone_ab, r3_results.jsonl).
     soft_shadow_tile: str = "auto"
     # Declares that no gradients will be taken through this render: small
     # all-triangle point-light scenes then route the ENTIRE forward trace
@@ -105,7 +106,8 @@ class RenderConfig:
     # Node width for the VMEM tile-synchronous BVH kernel: '2' = binary
     # (pallas_bvh.py), '4' = 4-wide collapsed tree (pallas_bvh4.py — one pop
     # descends two levels: no popped-node re-slab, half the scalar-bound pops,
-    # scalar t-bound pruning).  'auto' = measured best (scripts/tpu_bvh4_ab.py).
+    # scalar t-bound pruning).  'auto' = measured best (scripts/tpu_r3_sweep.py
+    # bvh4_ab, r3_results.jsonl).
     bvh_wide: str = "auto"
 
     def resolve_bvh_wide(self) -> str:
@@ -298,7 +300,9 @@ class RenderConfig:
             import jax
 
             platform = jax.default_backend()
-        # 'auto' = TPU only, pending the headline A/B (scripts/tpu_shade_ab.py).
+        # 'auto' = TPU only (headline A/B: scripts/tpu_r3b.py, BENCH_NOTES
+        # round-3 headline table — the fused kernel took 11.5 -> 7.69 ms
+        # with the record-trace megakernel).
         return platform == "tpu"
 
     # Leaf width for the soft-shadow sampler's OWN tree (0 = auto).  The cone

@@ -49,7 +49,9 @@ def main():
             img = sharded_render(scene, cam, cfg, mesh)
             jax.block_until_ready(img)
             ts.append(time.perf_counter() - t0)
-        rps = rays / min(ts)
+        # Median, not min: async dispatch through the tunnel has produced
+        # absurd sub-ms outliers (utils/bench.py::time_fn, CLAUDE.md).
+        rps = rays / sorted(ts)[len(ts) // 2]
         if base is None:
             base = rps
         print(json.dumps({
