@@ -777,6 +777,499 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
     return cnt[:, 0, :].reshape(-1)[:n].astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# HBM-streaming 4-wide variant (VERDICT r3 item 2): the binary HBM kernel's
+# per-leaf DMA pipeline grafted onto the 4-wide pop.  Nodes stay in VMEM
+# (512 B/row after lane padding — and a 4-wide row covers TWO binary levels,
+# so the same byte budget reaches twice the scene size or uses narrower
+# leaves); triangle rows stream from HBM into a double-buffered scratch, the
+# next leaf's DMA issued before the pending leaf's Möller–Trumbore sweep so
+# the copy rides under compute.  The interleaved multi-stack loop gives each
+# row band its OWN buffer+semaphore pair: one band's DMA wait overlaps the
+# other band's slab/MT vector work — exactly the stall the binary kernel's
+# pops eat (BENCH_NOTES "Known levers").
+# Capability anchor: same ordered descent as
+# /root/reference/src/bounding_volume_hierarchy.cpp:572-595.
+# ---------------------------------------------------------------------------
+
+
+class HBMBVH4(NamedTuple):
+    """4-wide node table (VMEM-sized) + HBM-resident triangle rows."""
+
+    nodes4: jax.Array  # [N4, 28] f32 (VMEM)
+    tri_rows: jax.Array  # [R + leaf_rows, 128] f32 (HBM; lane/tail-padded)
+    slot_to_prim: jax.Array  # [R * 14] i32 (-1 on padding)
+    root_enc: float
+    num_nodes: int
+    leaf_rows: int  # fixed DMA block height; every leaf has <= this many rows
+
+
+jax.tree_util.register_pytree_node(
+    HBMBVH4,
+    lambda p: ((p.nodes4, p.tri_rows, p.slot_to_prim),
+               (p.root_enc, p.num_nodes, p.leaf_rows)),
+    lambda aux, ch: HBMBVH4(*ch, root_enc=aux[0], num_nodes=aux[1],
+                            leaf_rows=aux[2]),
+)
+
+
+def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
+                   builder: str = "median"):
+    """Host-side build+collapse+pack for the HBM-streaming 4-wide kernel.
+
+    Picks the NARROWEST leaf width whose collapsed node table fits the
+    binary variant's byte budget (pallas_bvh.HBM_NODE_BYTES_BUDGET) — the
+    4-wide collapse roughly halves the node count, so this usually lands one
+    or two widths below the binary kernel's choose_leaf_rows, cutting the
+    per-leaf DMA volume accordingly."""
+    from .pallas_bvh import HBM_NODE_BYTES_BUDGET
+
+    candidates = ((leaf_rows,) if leaf_rows is not None
+                  else (1, 2, 4, 8, 16, 32))
+    last = None
+    for rows in candidates:
+        bvh = build_bvh(scene, max_leaf=rows * TRIS_PER_ROW, builder=builder)
+        packed4 = collapse_bvh4(pack_bvh_rows(bvh))
+        last = (bvh, packed4, rows)
+        if packed4.nodes4.shape[0] * 512 <= HBM_NODE_BYTES_BUDGET:
+            break
+    else:
+        raise ValueError(
+            f"{scene.num_triangles} triangles exceed the HBM4 node budget "
+            f"even at 32-row leaves; shard the scene instead "
+            f"(parallel/geometry.py)")
+    bvh, packed4, rows = last
+    tri_rows = jnp.pad(packed4.tri_rows,
+                       ((0, rows), (0, 128 - TRIS_PER_ROW * 9)))
+    return bvh, HBMBVH4(
+        nodes4=packed4.nodes4,
+        tri_rows=tri_rows,
+        slot_to_prim=packed4.slot_to_prim,
+        root_enc=packed4.root_enc,
+        num_nodes=packed4.num_nodes,
+        leaf_rows=rows,
+    )
+
+
+def supports_pallas_bvh4_hbm(scene: Scene) -> bool:
+    """Conservative gate mirroring the binary variant's: if the binary node
+    table fits at some leaf width, the collapsed one fits at the same width."""
+    from .pallas_bvh import supports_pallas_bvh_hbm
+
+    return supports_pallas_bvh_hbm(scene)
+
+
+def _hbm_state4(t0):
+    """_init_state4 + the DMA pipeline's pending-leaf registers
+    (p_valid, p_row, p_rows, p_slot)."""
+    return _init_state4(t0) + (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                               jnp.int32(0))
+
+
+def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
+                   dma_sem, rv, state, any_hit: bool, leaf_rows: int):
+    """One guarded pop of one band's HBM-streaming 4-wide traversal.
+
+    Pipeline identical to pallas_bvh._traverse_hbm: one leaf in flight while
+    internal nodes pop; a leaf pop first starts the NEW leaf's DMA (into the
+    other scratch slot), then waits+sweeps the pending one.  An exhausted
+    stack with a pending leaf drains it; an exhausted idle band takes the
+    scalar-only skip branch, so interleaving imbalanced bands costs only
+    dead pops."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, t0 = rv
+    (sp, t_best, slot, u, v, done, t_ub,
+     p_valid, p_row, p_rows, p_slot) = state
+    live = (sp > 0) & jnp.logical_not(done)
+    spm = jnp.maximum(sp - 1, 0)
+    enc = stack_ref[spm]
+    tin_pushed = tstack_ref[spm]
+    sp = jnp.where(live, spm, sp)
+
+    def start_dma(row_first, buf_slot):
+        return pltpu.make_async_copy(
+            tris_hbm_ref.at[pl.ds(row_first, leaf_rows)],
+            tri_buf.at[buf_slot], dma_sem.at[buf_slot],
+        )
+
+    def sweep_pending(carry, base_row, n_rows, buf_slot):
+        def row_body(r, lc):
+            t_b, sl, uu, vv = lc
+            trow = tri_buf[buf_slot, r]
+            for k in range(TRIS_PER_ROW):
+                tri = [trow[9 * k + j] for j in range(9)]
+                t, u_, v_, ok = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
+                closer = ok & (t < t_b)
+                slot_k = (base_row + r) * TRIS_PER_ROW + k
+                t_b = jnp.where(closer, t, t_b)
+                sl = jnp.where(closer, slot_k, sl)
+                uu = jnp.where(closer, u_, uu)
+                vv = jnp.where(closer, v_, vv)
+            return t_b, sl, uu, vv
+
+        return jax.lax.fori_loop(0, n_rows, row_body, carry)
+
+    # 0 = no-op (idle band / stale entry), 1 = internal, 2 = leaf,
+    # 3 = drain pending (stack exhausted or tile done with a DMA in flight —
+    # an unwaited DMA must not outlive the kernel).
+    kind = jnp.where(jnp.logical_not(live) | (tin_pushed > t_ub), 0,
+                     jnp.where(enc >= 0, 1, 2))
+    kind = jnp.where(jnp.logical_not(live) & (p_valid > 0), 3, kind)
+
+    def skip_fn(args):
+        return args
+
+    def internal_fn(args):
+        (sp, t_best, slot, u, v, done, t_ub,
+         p_valid, p_row, p_rows, p_slot) = args
+        row = nodes4_ref[enc.astype(jnp.int32)]
+        tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+        bound = t_best + tpad
+        tins = []
+        for ci in range(4):
+            tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
+            hit = hit & (tin <= bound)
+            tins.append(jnp.min(jnp.where(hit, tin, _BIG)))
+        e0, e1, e2, e3 = row[24], row[25], row[26], row[27]
+        t0_, t1_, t2_, t3_ = tins
+
+        def cswap(ta, ea, tb, eb):
+            sw = ta < tb
+            return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
+                    jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
+
+        t0_, e0, t1_, e1 = cswap(t0_, e0, t1_, e1)
+        t2_, e2, t3_, e3 = cswap(t2_, e2, t3_, e3)
+        t0_, e0, t2_, e2 = cswap(t0_, e0, t2_, e2)
+        t1_, e1, t3_, e3 = cswap(t1_, e1, t3_, e3)
+        t1_, e1, t2_, e2 = cswap(t1_, e1, t2_, e2)
+
+        for tv, ev in ((t0_, e0), (t1_, e1), (t2_, e2), (t3_, e3)):
+            stack_ref[sp] = ev
+            tstack_ref[sp] = tv
+            sp = sp + jnp.where(tv < _BIG, 1, 0)
+        return (sp, t_best, slot, u, v, done, t_ub,
+                p_valid, p_row, p_rows, p_slot)
+
+    def leaf_fn(args):
+        (sp, t_best, slot, u, v, done, t_ub,
+         p_valid, p_row, p_rows, p_slot) = args
+        code = (-enc - 1.0).astype(jnp.int32)
+        row_first = code // _ENC_LEAF_SHIFT
+        n_rows = code - row_first * _ENC_LEAF_SHIFT
+        new_slot = 1 - p_slot
+
+        start_dma(row_first, new_slot).start()
+
+        def retire(carry):
+            t_b, sl, uu, vv = carry
+            start_dma(p_row, p_slot).wait()
+            return sweep_pending(carry, p_row, p_rows, p_slot)
+
+        t_best, slot, u, v = jax.lax.cond(
+            p_valid > 0, retire, lambda c: c, (t_best, slot, u, v))
+        if any_hit:
+            done = done | jnp.all((slot >= 0) | (t0 < 0.0))
+        pad_ub = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+        t_ub = jnp.max(t_best + pad_ub)
+        return (sp, t_best, slot, u, v, done, t_ub,
+                jnp.int32(1), row_first, n_rows, new_slot)
+
+    def drain_fn(args):
+        (sp, t_best, slot, u, v, done, t_ub,
+         p_valid, p_row, p_rows, p_slot) = args
+        start_dma(p_row, p_slot).wait()
+        t_best, slot, u, v = sweep_pending((t_best, slot, u, v),
+                                           p_row, p_rows, p_slot)
+        if any_hit:
+            done = done | jnp.all((slot >= 0) | (t0 < 0.0))
+        pad_ub = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+        t_ub = jnp.max(t_best + pad_ub)
+        return (sp, t_best, slot, u, v, done, t_ub,
+                jnp.int32(0), p_row, p_rows, p_slot)
+
+    return jax.lax.switch(kind, [skip_fn, internal_fn, leaf_fn, drain_fn],
+                          (sp, t_best, slot, u, v, done, t_ub,
+                           p_valid, p_row, p_rows, p_slot))
+
+
+def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
+                      root_enc: float, any_hit: bool, leaf_rows: int):
+    """Interleaved multi-band HBM-streaming traversal: each band owns a
+    (stack, tstack, tri_buf, sem) set and walks independently in one fused
+    loop.  Returns a list of (t, slot, u, v) per band."""
+    nway = len(rvs_list)
+    for k in range(nway):
+        stacks[2 * k][0] = jnp.float32(root_enc)
+        stacks[2 * k + 1][0] = jnp.float32(-_BIG)
+
+    def cond(states):
+        live = None
+        for s in states:
+            l = ((s[0] > 0) & jnp.logical_not(s[5])) | (s[7] > 0)
+            live = l if live is None else (live | l)
+        return live
+
+    def body(states):
+        return tuple(
+            _pop_step4_hbm(stacks[2 * k], stacks[2 * k + 1], nodes4_ref,
+                           tris_hbm_ref, bufs[k], sems[k], rvs_list[k],
+                           states[k], any_hit, leaf_rows)
+            for k in range(nway)
+        )
+
+    out = jax.lax.while_loop(
+        cond, body, tuple(_hbm_state4(rv[-1]) for rv in rvs_list))
+    return [(s[1], s[2], s[3], s[4]) for s in out]
+
+
+def _bvh4_hbm_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref, nodes4_ref, tris_hbm_ref, t_ref, slot_ref,
+                        u_ref, v_ref, *scratch, root_enc: float, any_hit: bool,
+                        leaf_rows: int, interleave: int):
+    nway = interleave
+    stacks = scratch[:2 * nway]
+    bufs = scratch[2 * nway:3 * nway]
+    sems = scratch[3 * nway:4 * nway]
+    parts = [_split_rows(r[0], nway)
+             for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref)]
+    rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
+    outs = _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
+                             rvs, root_enc, any_hit, leaf_rows)
+    t_ref[0] = jnp.concatenate([o[0] for o in outs], axis=0)
+    slot_ref[0] = jnp.concatenate([o[1] for o in outs], axis=0)
+    u_ref[0] = jnp.concatenate([o[2] for o in outs], axis=0)
+    v_ref[0] = jnp.concatenate([o[3] for o in outs], axis=0)
+
+
+def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                               tmax_ref, nodes4_ref, tris_hbm_ref, lights_ref,
+                               t_ref, slot_ref, u_ref, v_ref, shadow_ref,
+                               *scratch, root_enc: float, num_lights: int,
+                               leaf_rows: int, interleave: int):
+    """Interleaved fused bounce over the HBM-streaming 4-wide tree: closest
+    hit then per-light shadow any-hit, sharing each band's scratch (the DMA
+    pipeline fully drains between traversals — cond holds until p_valid
+    clears)."""
+    nway = interleave
+    stacks = scratch[:2 * nway]
+    bufs = scratch[2 * nway:3 * nway]
+    sems = scratch[3 * nway:4 * nway]
+    parts = [_split_rows(r[0], nway)
+             for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref)]
+    rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
+    closest = _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
+                                rvs, root_enc, any_hit=False,
+                                leaf_rows=leaf_rows)
+
+    hits = [sl >= 0 for (_, sl, _, _) in closest]
+    pos = []
+    for k, (t, sl, _, _) in enumerate(closest):
+        th = jnp.where(hits[k], t, 0.0)
+        ox_k, oy_k, oz_k = parts[0][k], parts[1][k], parts[2][k]
+        dx_k, dy_k, dz_k = parts[3][k], parts[4][k], parts[5][k]
+        pos.append((ox_k + dx_k * th, oy_k + dy_k * th, oz_k + dz_k * th))
+
+    bits = [jnp.zeros(p[0].shape, jnp.int32) for p in pos]
+    for li in range(num_lights):
+        lrow = lights_ref[li]
+
+        def shadow_rv(px, py, pz, hit):
+            tx, ty, tz = lrow[0] - px, lrow[1] - py, lrow[2] - pz
+            dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+            inv = 1.0 / jnp.maximum(dist, 1e-20)
+            sdx, sdy, sdz = tx * inv, ty * inv, tz * inv
+            sox = px + SHADOW_EPS * sdx
+            soy = py + SHADOW_EPS * sdy
+            soz = pz + SHADOW_EPS * sdz
+            tmax_l = jnp.where(hit, dist - SHADOW_EPS, -1.0)
+            return _rayvars(sox, soy, soz, sdx, sdy, sdz, tmax_l)
+
+        shadow = _traverse4_hbm_xn(
+            stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
+            [shadow_rv(*pos[k], hits[k]) for k in range(nway)],
+            root_enc, any_hit=True, leaf_rows=leaf_rows)
+        for k in range(nway):
+            bits[k] = bits[k] | ((shadow[k][1] >= 0).astype(jnp.int32) << li)
+
+    t_ref[0] = jnp.concatenate([o[0] for o in closest], axis=0)
+    slot_ref[0] = jnp.concatenate([o[1] for o in closest], axis=0)
+    u_ref[0] = jnp.concatenate([o[2] for o in closest], axis=0)
+    v_ref[0] = jnp.concatenate([o[3] for o in closest], axis=0)
+    shadow_ref[0] = jnp.concatenate(bits, axis=0)
+
+
+def _hbm4_scratch(interleave: int, leaf_rows: int):
+    return (_stack_scratch(interleave)
+            + [pltpu.VMEM((2, leaf_rows, 128), jnp.float32)
+               for _ in range(interleave)]
+            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(interleave)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("root_enc", "any_hit", "leaf_rows",
+                                    "interpret", "interleave"))
+def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
+                   any_hit=False, leaf_rows=4, interpret=False, interleave=1):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    kernel = functools.partial(_bvh4_hbm_kernel_xn, root_enc=root_enc,
+                               any_hit=any_hit, leaf_rows=leaf_rows,
+                               interleave=interleave)
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes4
+            pl.BlockSpec(memory_space=pl.ANY),      # tri rows (HBM)
+        ],
+        out_specs=[ray_spec() for _ in range(4)],
+        out_shape=out_shape,
+        scratch_shapes=_hbm4_scratch(interleave, leaf_rows),
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes4, tri_rows)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("root_enc", "leaf_rows", "interpret",
+                                    "interleave"))
+def _bvh4_hbm_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights,
+                          root_enc, leaf_rows=4, interpret=False,
+                          interleave=1):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    kernel = functools.partial(_bvh4_hbm_bounce_kernel_xn, root_enc=root_enc,
+                               num_lights=lights.shape[0],
+                               leaf_rows=leaf_rows, interleave=interleave)
+    ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[ray_spec() for _ in range(7)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes4
+            pl.BlockSpec(memory_space=pl.ANY),      # tri rows (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 3]
+        ],
+        out_specs=[ray_spec() for _ in range(5)],
+        out_shape=out_shape,
+        scratch_shapes=_hbm4_scratch(interleave, leaf_rows),
+        interpret=interpret,
+    )(*rays6, tmax_tiles, nodes4, tri_rows, lights)
+
+
+def _run4_hbm(packed: HBMBVH4, origins, dirs, t_max, any_hit, interpret,
+              tile_rows: int, interleave: int):
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
+    if t_max is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.broadcast_to(jax.lax.stop_gradient(t_max),
+                              (n,)).astype(jnp.float32)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n),
+                       constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
+    t, slot, u, v = _bvh4_hbm_call(rays, tm_tiles, packed.nodes4,
+                                   packed.tri_rows, packed.root_enc,
+                                   any_hit=any_hit,
+                                   leaf_rows=packed.leaf_rows,
+                                   interpret=interpret, interleave=interleave)
+    flat = lambda a: a.reshape(-1)[:n]
+    return flat(t), flat(slot), flat(u), flat(v), n
+
+
+def intersect_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
+                              t_max=None, interpret: bool | None = None,
+                              tile_rows: int = RAY_ROWS,
+                              interleave: int = 1) -> Hit:
+    """Closest-hit through the HBM-streaming 4-wide kernel (+ jnp spheres)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    t, slot, u, v, n = _run4_hbm(packed, origins, dirs, t_max, False,
+                                 interpret, tile_rows, interleave)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)],
+                     MISS)
+    best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return _sphere_merge(scene, origins, dirs, best)
+
+
+def occluded_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
+                             t_max, interpret: bool | None = None,
+                             tile_rows: int = RAY_ROWS, interleave: int = 1):
+    """Any-hit through the HBM-streaming 4-wide kernel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    from .intersect import intersect_spheres_one
+
+    t, slot, _, _, n = _run4_hbm(packed, origins, dirs, t_max, True,
+                                 interpret, tile_rows, interleave)
+    blocked = slot >= 0
+    num_spheres = scene.spheres.radius.shape[0]
+    if num_spheres > 0:
+        tm = jnp.broadcast_to(t_max, (origins.shape[0],)).astype(jnp.float32)
+        t_s, valid_s = jax.vmap(
+            lambda c, r: intersect_spheres_one(origins, dirs, c, r),
+            in_axes=(0, 0), out_axes=(0, 0),
+        )(scene.spheres.center, scene.spheres.radius)
+        blocked = blocked | jnp.any(valid_s & (t_s < tm[None, :]), axis=0)
+    return blocked
+
+
+def supports_fused_bounce_bvh4_hbm(scene: Scene) -> bool:
+    return (
+        supports_pallas_bvh4_hbm(scene)
+        and scene.spheres.radius.shape[0] == 0
+        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+    )
+
+
+def bounce_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
+                           interpret: bool | None = None,
+                           tile_rows: int = RAY_ROWS, live=None,
+                           interleave: int = 1):
+    """Fused closest-hit + per-point-light shadow query, HBM-streaming 4-wide
+    variant.  Same (Hit, shadow_bits) contract as bounce_pallas_bvh_hbm."""
+    if interpret is None:
+        interpret = _default_interpret()
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
+    if live is None:
+        tm = jnp.full((n,), jnp.inf, jnp.float32)
+    else:
+        tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
+    tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n),
+                       constant_values=-1.0)
+    tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    t, slot, u, v, bits = _bvh4_hbm_bounce_call(
+        rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
+        packed.root_enc, leaf_rows=packed.leaf_rows, interpret=interpret,
+        interleave=interleave)
+    flat = lambda a: a.reshape(-1)[:n]
+    t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
+    prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)],
+                     MISS)
+    hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
+    return hit, bits
+
+
 def supports_fused_bounce_bvh4(scene: Scene) -> bool:
     from .pallas_bvh import supports_pallas_bvh
 

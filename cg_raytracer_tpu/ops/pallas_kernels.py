@@ -510,7 +510,11 @@ def intersect_pallas(scene: Scene, origins, dirs, t_max=None,
             tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
         tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
         tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
-        t, slot, u, v = _closest_call(rays, tm_tiles, _tri_table(scene),
+        # Oracle contract: the kernel has no VJP; its geometry table must be
+        # severed from the autodiff graph (vertex grads flow through the
+        # differentiable reconstruct instead — ops/intersect.py).
+        tri_table = jax.lax.stop_gradient(_tri_table(scene))
+        t, slot, u, v = _closest_call(rays, tm_tiles, tri_table,
                                       interpret=interpret)
         flat = lambda a: a.reshape(-1)[:n]
         t, slot, u, v = flat(t), flat(slot), flat(u), flat(v)
@@ -560,7 +564,9 @@ def occluded_pallas(scene: Scene, origins, dirs, t_max,
         # Padding rays get t_max = -1 so they can never report an occlusion.
         tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
         tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
-        blocked = _anyhit_call(rays, tm_tiles, _tri_table(scene),
+        # Oracle contract: stop-grad the geometry table (see intersect_pallas).
+        blocked = _anyhit_call(rays, tm_tiles,
+                               jax.lax.stop_gradient(_tri_table(scene)),
                                interpret=interpret)
         blocked = blocked.reshape(-1)[:n]
     else:
@@ -798,7 +804,8 @@ def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, 
             raise NotImplementedError(
                 "soft-shadow PRNG kernel has no CPU interpretation; pass gauss= "
                 "for the table variant or run on TPU")
-        cnt = _soft_prng_call(pos3, light_row, _key_seeds(key), _tri_table(scene),
+        cnt = _soft_prng_call(pos3, light_row, _key_seeds(key),
+                              jax.lax.stop_gradient(_tri_table(scene)),
                               num_samples, interpret=False)
     else:
         s = gauss.shape[0]
@@ -813,7 +820,8 @@ def soft_shadow_counts_pallas(scene: Scene, positions, light_pos, light_radius, 
         gp = jnp.pad(gauss, ((0, 0), (0, pad), (0, 0)))
         gp = gp.reshape(s, g, RAY_ROWS, RAY_COLS, 3)
         gp = jnp.transpose(gp, (1, 0, 4, 2, 3))  # [g, S, 3, ROWS, COLS]
-        cnt = _soft_table_call(pos3, light_row, gp, _tri_table(scene),
+        cnt = _soft_table_call(pos3, light_row, gp,
+                               jax.lax.stop_gradient(_tri_table(scene)),
                                num_samples, interpret=interpret)
     return cnt.reshape(-1)[:n].astype(jnp.float32)
 
@@ -1193,8 +1201,10 @@ def bounce_pallas(scene: Scene, origins, dirs, interpret: bool | None = None,
         tm_tiles = jnp.pad(tm, (0, g * RAY_TILE - n), constant_values=-1.0)
         tm_tiles = tm_tiles.reshape(g, RAY_ROWS, RAY_COLS)
     lights = jax.lax.stop_gradient(scene.point_lights.position)
-    t, slot, u, v, bits = _bounce_call(rays6, tm_tiles, _tri_table(scene), lights,
-                                       interpret=interpret)
+    # Oracle contract: stop-grad the geometry table (see intersect_pallas).
+    t, slot, u, v, bits = _bounce_call(rays6, tm_tiles,
+                                       jax.lax.stop_gradient(_tri_table(scene)),
+                                       lights, interpret=interpret)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     hit = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=slot, u=u, v=v)

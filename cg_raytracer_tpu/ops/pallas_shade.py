@@ -9,25 +9,42 @@ Why: the XLA reconstruct+shade chain measured 3.61 ms fwd / 4.72 ms fwd+bwd at
 the 1024^2 headline (scripts/tpu_bwd2.py) — ~10x off its flop roofline, lost
 to materialized [N,28] gathers, one-hot tables, and a dozen [N,3]
 intermediates round-tripping HBM.  This kernel keeps the whole chain in
-registers: the forward gathers per-triangle attributes by masked select
-(static table-row reads, same pattern as the trace megakernel), recomputes
-Möller–Trumbore, interpolates the facing-flipped shading normal, and
-accumulates bit-gated Phong per light.  The backward is the SAME math
-re-traced under ``jax.vjp`` *inside* the kernel body — elementwise only, so it
-legalizes — emitting per-ray cotangents for all 28 gathered fields plus
-per-tile light cotangents; the tiny [N,28] -> [T,28] table transpose stays in
-XLA as a one-hot matmul (precision HIGHEST — the payload rule from
-ops/intersect.py applies to the transpose too).
+registers: the forward recomputes Möller–Trumbore on the hit triangle's
+attributes, interpolates the facing-flipped shading normal, and accumulates
+bit-gated Phong per light.  The backward is the SAME math re-traced under
+``jax.vjp`` *inside* the kernel body — elementwise only, so it legalizes —
+emitting per-ray cotangents for all 28 gathered fields, the ray origins and
+directions, plus per-tile light cotangents.
 
-Gradient contract: identical to the XLA path.  The gather, the facing flip,
+Two attribute-gather modes, selected by scene size (shade_fused_pallas):
+
+- **select** (T <= SHADE_SELECT_MAX_TRIS): per-ray attributes are gathered
+  in-kernel by masked select over static table rows — O(T) per ray, the right
+  trade only for tiny tables (the headline Cornell box has 32 triangles).
+  The backward's [N,28] -> [T,28] table transpose stays in XLA as a one-hot
+  ``dot_general`` (precision HIGHEST — the payload rule from ops/intersect.py
+  applies to the transpose too).
+- **pregathered** (any T, incl. the VMEM/HBM BVH scenes — VERDICT r3 item 1):
+  XLA performs ONE differentiable [N,28] row gather (``table[prim]``, the
+  same packed-row pattern as reconstruct_hit) and the kernel consumes the
+  per-ray field rows directly; the backward emits per-ray field cotangents
+  and XLA's own gather-VJP scatter-adds them into the table.  Mosaic cannot
+  express a per-lane vector gather from VMEM (dynamic indexing legalizes on
+  the sublane dim only), so the gather/scatter pair is the one piece of this
+  chain that stays in XLA by construction.
+
+Gradient contract: identical to the XLA chain.  The gather, the facing flip,
 the shadow bits, and ``valid`` are discrete (not differentiated there either);
 everything continuous (MT, normal interpolation, Phong, light geometry) is
-differentiated by the traced VJP, so there is no hand-derived math to drift.
+differentiated by the traced VJP — including the ray origin/direction inputs,
+whose cotangents close the two-phase structure's reflected-ray vertex-grad
+term (models/whitted.py phase 2; VERDICT r3 item 3).
 
-Scope (supports_shade_kernel): triangle scenes <= SHADE_MAX_TRIS with 1..8
-point lights, no spheres, no spherical lights — the select-loop gather is
-O(T) per ray, which is the right trade only for small tables (the headline
-Cornell box has 32).  Larger scenes keep the XLA chain.
+Scope (supports_shade_kernel): all-triangle scenes with 1..SHADE_MAX_LIGHTS
+point lights, no spheres, no spherical lights.  The light cap is 16, NOT
+MAX_FUSED_LIGHTS: the backward packs per-light cotangents into lanes
+``li * 8 + c`` of one 128-lane row (ADVICE r3 — a 17th light would overflow
+the row and silently drop).
 """
 from __future__ import annotations
 
@@ -41,20 +58,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.types import Scene
 from .intersect import Surface
-from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, SHADOW_EPS,
+from .pallas_kernels import (RAY_COLS, RAY_ROWS, SHADOW_EPS,
                              _aux_table, _default_interpret, _mt_tile,
                              _pack_rays, _tri_table)
 
-SHADE_MAX_TRIS = 64
+SHADE_SELECT_MAX_TRIS = 64  # in-kernel masked-select gather above this is O(T)
+SHADE_MAX_LIGHTS = 16  # per-light cotangents pack into lanes li*8+c of one row
 _NFIELD = 28  # 9 triangle-vertex lanes + 19 aux lanes (normals/face/material)
 
 
 def supports_shade_kernel(scene: Scene) -> bool:
     return (
-        0 < scene.num_triangles <= SHADE_MAX_TRIS
+        0 < scene.num_triangles
         and scene.spheres.radius.shape[0] == 0
         and scene.spherical_lights.position.shape[0] == 0
-        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+        and 0 < scene.point_lights.position.shape[0] <= SHADE_MAX_LIGHTS
     )
 
 
@@ -183,58 +201,136 @@ def _shade_fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         ref[0] = val
 
 
-def _shade_bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                      prim_ref, bits_ref, tris_ref, aux_ref, lights_ref,
-                      ct_refs_and_outs, num_tris, num_lights):
-    """ct_refs_and_outs: 12 cotangent tiles (matching _shade_math outputs),
-    then outputs (d_fields [1, 28, rows, 128], d_lights [1, 8, 128])."""
-    ct_refs = ct_refs_and_outs[:12]
-    dfields_ref, dlights_ref = ct_refs_and_outs[12], ct_refs_and_outs[13]
+def _shade_fwd_kernel_pre(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          prim_ref, bits_ref, fields_ref, lights_ref,
+                          *out_refs, num_tris, num_lights):
+    """Pregathered variant: per-ray field rows arrive as a [1, 28, rows, 128]
+    block (XLA's table[prim] gather, tiled by _pack_fields)."""
     slot = prim_ref[0]
 
     def live(_):
         hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
-        fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
-        lscal = _light_scalars(lights_ref, num_lights)
-        o3 = (ox_ref[0], oy_ref[0], oz_ref[0])
-        d3 = (dx_ref[0], dy_ref[0], dz_ref[0])
-        bits = bits_ref[0]
-
-        # The same math re-traced under jax.vjp: elementwise-only, so it
-        # legalizes in Mosaic; gradient semantics match XLA autodiff by
-        # construction.
-        def f(fields_, lscal_):
-            return _shade_math(fields_, lscal_, o3, d3, bits, hit_f)
-
-        _, vjp_fn = jax.vjp(f, fields, lscal)
-        cts = tuple(r[0] for r in ct_refs)
-        d_fields, d_lights = vjp_fn(cts)
-
-        # Per-light scalar cotangents -> lanes li*8 + c of row 0.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 0)
-        acc = jnp.zeros((8, RAY_COLS), jnp.float32)
-        for li in range(num_lights):
-            for c in range(6):
-                val = d_lights[li][c]
-                acc = acc + jnp.where((row == 0) & (lane == li * 8 + c),
-                                      val, 0.0)
-        return tuple(d_fields) + (acc,)
+        fields = [fields_ref[0, j] for j in range(_NFIELD)]
+        return _shade_math(fields, _light_scalars(lights_ref, num_lights),
+                           (ox_ref[0], oy_ref[0], oz_ref[0]),
+                           (dx_ref[0], dy_ref[0], dz_ref[0]),
+                           bits_ref[0], hit_f)
 
     def dead(_):
-        z = lambda: jnp.zeros(slot.shape, jnp.float32)
-        return tuple(z() for _ in range(_NFIELD)) + (
-            jnp.zeros((8, RAY_COLS), jnp.float32),)
+        z = jnp.zeros(slot.shape, jnp.float32)
+        return (z,) * 12
+
+    outs = jax.lax.cond(jnp.max(slot) >= 0, live, dead, 0)
+    for ref, val in zip(out_refs, outs):
+        ref[0] = val
+
+
+def _shade_bwd_core(fields, o3, d3, bits, slot, lights_ref, ct_refs,
+                    num_tris, num_lights):
+    """Shared backward: jax.vjp over _shade_math w.r.t. (fields, lights, o, d).
+
+    Elementwise-only math, so the traced VJP legalizes in Mosaic; gradient
+    semantics match XLA autodiff by construction.  Returns
+    (d_fields tuple(28), d_lights (8, COLS) row-0 packed, d_rays tuple(6))."""
+    hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
+    lscal = _light_scalars(lights_ref, num_lights)
+
+    def f(fields_, lscal_, o3_, d3_):
+        return _shade_math(fields_, lscal_, o3_, d3_, bits, hit_f)
+
+    _, vjp_fn = jax.vjp(f, fields, lscal, o3, d3)
+    cts = tuple(r[0] for r in ct_refs)
+    d_fields, d_lights, d_o3, d_d3 = vjp_fn(cts)
+
+    # Per-light scalar cotangents -> lanes li*8 + c of row 0 (<= 16 lights).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 0)
+    acc = jnp.zeros((8, RAY_COLS), jnp.float32)
+    for li in range(num_lights):
+        for c in range(6):
+            val = d_lights[li][c]
+            acc = acc + jnp.where((row == 0) & (lane == li * 8 + c),
+                                  val, 0.0)
+    return tuple(d_fields), acc, tuple(d_o3) + tuple(d_d3)
+
+
+def _bwd_dead(slot):
+    z = lambda: jnp.zeros(slot.shape, jnp.float32)
+    return (tuple(z() for _ in range(_NFIELD))
+            + (jnp.zeros((8, RAY_COLS), jnp.float32),)
+            + tuple(z() for _ in range(6)))
+
+
+def _store_bwd_outs(outs, dfields_ref, dlights_ref, drays_ref):
+    d_fields, acc, d_rays = outs
+    for j in range(_NFIELD):
+        dfields_ref[0, j] = d_fields[j]
+    dlights_ref[0] = acc
+    for j in range(6):
+        drays_ref[0, j] = d_rays[j]
+
+
+def _shade_bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      prim_ref, bits_ref, tris_ref, aux_ref, lights_ref,
+                      ct_refs_and_outs, num_tris, num_lights):
+    """Select-gather backward.  ct_refs_and_outs: 12 cotangent tiles (matching
+    _shade_math outputs), then outputs (d_fields [1, 28, rows, 128],
+    d_lights [1, 8, 128], d_rays [1, 6, rows, 128])."""
+    ct_refs = ct_refs_and_outs[:12]
+    dfields_ref, dlights_ref, drays_ref = ct_refs_and_outs[12:15]
+    slot = prim_ref[0]
+
+    def live(_):
+        fields = _gather_fields(tris_ref, aux_ref, slot, num_tris)
+        df, acc, dr = _shade_bwd_core(
+            fields, (ox_ref[0], oy_ref[0], oz_ref[0]),
+            (dx_ref[0], dy_ref[0], dz_ref[0]), bits_ref[0], slot,
+            lights_ref, ct_refs, num_tris, num_lights)
+        return df + (acc,) + dr
 
     # Dead-tile early-exit (miss lanes contribute zero cotangents anyway).
-    outs = jax.lax.cond(jnp.max(slot) >= 0, live, dead, 0)
-    for j in range(_NFIELD):
-        dfields_ref[0, j] = outs[j]
-    dlights_ref[0] = outs[_NFIELD]
+    outs = jax.lax.cond(jnp.max(slot) >= 0, live,
+                        lambda _: _bwd_dead(slot), 0)
+    _store_bwd_outs((outs[:_NFIELD], outs[_NFIELD], outs[_NFIELD + 1:]),
+                    dfields_ref, dlights_ref, drays_ref)
+
+
+def _shade_bwd_kernel_pre(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          prim_ref, bits_ref, fields_ref, lights_ref,
+                          ct_refs_and_outs, num_tris, num_lights):
+    """Pregathered backward: identical to _shade_bwd_kernel except fields come
+    from the per-ray [1, 28, rows, 128] block; d_fields goes back in the same
+    per-ray layout (XLA's gather VJP scatter-adds it into the table)."""
+    ct_refs = ct_refs_and_outs[:12]
+    dfields_ref, dlights_ref, drays_ref = ct_refs_and_outs[12:15]
+    slot = prim_ref[0]
+
+    def live(_):
+        fields = [fields_ref[0, j] for j in range(_NFIELD)]
+        df, acc, dr = _shade_bwd_core(
+            fields, (ox_ref[0], oy_ref[0], oz_ref[0]),
+            (dx_ref[0], dy_ref[0], dz_ref[0]), bits_ref[0], slot,
+            lights_ref, ct_refs, num_tris, num_lights)
+        return df + (acc,) + dr
+
+    outs = jax.lax.cond(jnp.max(slot) >= 0, live,
+                        lambda _: _bwd_dead(slot), 0)
+    _store_bwd_outs((outs[:_NFIELD], outs[_NFIELD], outs[_NFIELD + 1:]),
+                    dfields_ref, dlights_ref, drays_ref)
 
 
 def _ray_spec(rows):
     return pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fields_spec(rows):
+    return pl.BlockSpec((1, _NFIELD, rows, RAY_COLS), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _drays_spec(rows):
+    return pl.BlockSpec((1, 6, rows, RAY_COLS), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -261,6 +357,28 @@ def _shade_fwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
     )(*rays6, prim_tiles, bits_tiles, tri_table, aux, lights)
 
 
+@functools.partial(jax.jit, static_argnames=("num_tris", "interpret"))
+def _shade_fwd_call_pre(rays6, prim_tiles, bits_tiles, fields_tiles, lights,
+                        num_tris, interpret=False):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    kernel = functools.partial(_shade_fwd_kernel_pre,
+                               num_tris=num_tris,
+                               num_lights=lights.shape[0])
+    out_shape = [jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32)
+                 for _ in range(12)]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_ray_spec(rows) for _ in range(8)] + [
+            _fields_spec(rows),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 6]
+        ],
+        out_specs=[_ray_spec(rows) for _ in range(12)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, prim_tiles, bits_tiles, fields_tiles, lights)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _shade_bwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
                     ct_tiles, interpret=False):
@@ -274,6 +392,7 @@ def _shade_bwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
     out_shape = [
         jax.ShapeDtypeStruct((g, _NFIELD, rows, RAY_COLS), jnp.float32),
         jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, 6, rows, RAY_COLS), jnp.float32),
     ]
     return pl.pallas_call(
         kernel,
@@ -284,20 +403,89 @@ def _shade_bwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [_ray_spec(rows) for _ in range(12)],
         out_specs=[
-            pl.BlockSpec((1, _NFIELD, rows, RAY_COLS), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _fields_spec(rows),
             pl.BlockSpec((1, 8, RAY_COLS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            _drays_spec(rows),
         ],
         out_shape=out_shape,
         interpret=interpret,
     )(*rays6, prim_tiles, bits_tiles, tri_table, aux, lights, *ct_tiles)
 
 
+@functools.partial(jax.jit, static_argnames=("num_tris", "interpret"))
+def _shade_bwd_call_pre(rays6, prim_tiles, bits_tiles, fields_tiles, lights,
+                        ct_tiles, num_tris, interpret=False):
+    g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    num_lights = lights.shape[0]
+
+    def kernel(*refs):
+        _shade_bwd_kernel_pre(*refs[:10], refs[10:],
+                              num_tris=num_tris,
+                              num_lights=num_lights)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((g, _NFIELD, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, 6, rows, RAY_COLS), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[_ray_spec(rows) for _ in range(8)] + [
+            _fields_spec(rows),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [_ray_spec(rows) for _ in range(12)],
+        out_specs=[
+            _fields_spec(rows),
+            pl.BlockSpec((1, 8, RAY_COLS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _drays_spec(rows),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*rays6, prim_tiles, bits_tiles, fields_tiles, lights, *ct_tiles)
+
+
 def _pack_int(x, n, g, rows, fill):
     xt = jnp.pad(x.astype(jnp.int32), (0, g * rows * RAY_COLS - n),
                  constant_values=fill)
     return xt.reshape(g, rows, RAY_COLS)
+
+
+def _pack_fields(fields_rows, n, g):
+    """[N, 28] per-ray field rows -> [G, 28, rows, 128] kernel blocks.
+
+    The transpose is a real relayout of the field volume (112 B/ray); it is
+    the price of keeping the gather in XLA — measured against leaving the
+    whole chain in XLA, not against a free alternative (Mosaic cannot gather
+    per-lane)."""
+    fr = jnp.pad(fields_rows, ((0, g * RAY_ROWS * RAY_COLS - n), (0, 0)))
+    fr = fr.reshape(g, RAY_ROWS, RAY_COLS, _NFIELD)
+    return jnp.transpose(fr, (0, 3, 1, 2))
+
+
+def _unpack_ray_cts(d_rays_t, n):
+    flat = lambda j: d_rays_t[:, j].reshape(-1)[:n]
+    d_o = jnp.stack([flat(0), flat(1), flat(2)], axis=-1)
+    d_d = jnp.stack([flat(3), flat(4), flat(5)], axis=-1)
+    return d_o, d_d
+
+
+def _unpack_light_cts(d_lights_t, num_lights):
+    d_lights_row = jnp.sum(d_lights_t[:, 0, :], axis=0)  # [128]
+    return d_lights_row[:num_lights * 8].reshape(num_lights, 8)[:, :6]
+
+
+def _f0(x):
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)  # int-arg cotangents
+
+
+# ---------------------------------------------------------------------------
+# Select-gather custom VJP (T <= SHADE_SELECT_MAX_TRIS)
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -331,7 +519,7 @@ def _shade_core_bwd(interpret, res, cts):
         return ctp.reshape(g, RAY_ROWS, RAY_COLS)
 
     ct_tiles = [tile_of(c) for c in cts]
-    d_fields, d_lights_t = _shade_bwd_call(
+    d_fields, d_lights_t, d_rays_t = _shade_bwd_call(
         rays6, prim_t, bits_t, tri_table, aux, lights, ct_tiles,
         interpret=interpret)
 
@@ -355,36 +543,99 @@ def _shade_core_bwd(interpret, res, cts):
     d_tri = d_packed[:, :9]
     d_aux = d_packed[:, 9:]
 
-    d_lights_row = jnp.sum(d_lights_t[:, 0, :], axis=0)  # [128]
-    num_lights = lights.shape[0]
-    d_lights = d_lights_row[:num_lights * 8].reshape(num_lights, 8)[:, :6]
-
-    import numpy as np
-
-    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # int-arg cotangents
-    return (d_tri, d_aux, d_lights, jnp.zeros_like(o), jnp.zeros_like(d),
-            f0(prim), f0(bits))
+    d_lights = _unpack_light_cts(d_lights_t, lights.shape[0])
+    d_o, d_d = _unpack_ray_cts(d_rays_t, n)
+    return (d_tri, d_aux, d_lights, d_o, d_d, _f0(prim), _f0(bits))
 
 
 _shade_core.defvjp(_shade_core_fwd, _shade_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Pregathered custom VJP (any T): the [N, 28] field rows are a differentiable
+# XLA gather outside; this VJP returns their per-ray cotangents and XLA's
+# gather transpose scatter-adds them into the table (hence into vertices,
+# normals, and materials).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _shade_core_pre(fields_rows, lights, o, d, prim, bits, num_tris,
+                    interpret):
+    return _shade_core_pre_fwd(fields_rows, lights, o, d, prim, bits,
+                               num_tris, interpret)[0]
+
+
+def _shade_core_pre_fwd(fields_rows, lights, o, d, prim, bits, num_tris,
+                        interpret):
+    n = o.shape[0]
+    rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
+    prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
+    bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
+    fields_t = _pack_fields(fields_rows, n, g)
+    tiles = _shade_fwd_call_pre(rays6, prim_t, bits_t, fields_t, lights,
+                                num_tris=num_tris, interpret=interpret)
+    flat = lambda a: a.reshape(-1)[:n]
+    outs = tuple(flat(t) for t in tiles)
+    return outs, (fields_rows, lights, o, d, prim, bits)
+
+
+def _shade_core_pre_bwd(num_tris, interpret, res, cts):
+    fields_rows, lights, o, d, prim, bits = res
+    n = o.shape[0]
+    rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
+    prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
+    bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
+    fields_t = _pack_fields(fields_rows, n, g)
+
+    def tile_of(ct):
+        ctp = jnp.pad(ct.astype(jnp.float32), (0, g * RAY_ROWS * RAY_COLS - n))
+        return ctp.reshape(g, RAY_ROWS, RAY_COLS)
+
+    ct_tiles = [tile_of(c) for c in cts]
+    d_fields_t, d_lights_t, d_rays_t = _shade_bwd_call_pre(
+        rays6, prim_t, bits_t, fields_t, lights, ct_tiles,
+        num_tris=num_tris, interpret=interpret)
+
+    # Back to per-ray rows for XLA's gather-VJP scatter-add (the inverse of
+    # _pack_fields' relayout).
+    d_rows = jnp.transpose(d_fields_t, (0, 2, 3, 1)).reshape(-1, _NFIELD)[:n]
+    d_lights = _unpack_light_cts(d_lights_t, lights.shape[0])
+    d_o, d_d = _unpack_ray_cts(d_rays_t, n)
+    return (d_rows, d_lights, d_o, d_d, _f0(prim), _f0(bits))
+
+
+_shade_core_pre.defvjp(_shade_core_pre_fwd, _shade_core_pre_bwd)
+
+
 def shade_fused_pallas(scene: Scene, origins, dirs, hit, bits,
                        interpret: bool | None = None) -> Surface:
     """Drop-in replacement for reconstruct_hit + direct_point_lights on
-    eligible scenes, returning (direct [N,3], Surface).  Differentiable w.r.t.
-    vertices, normals, materials, and point lights through the custom VJP."""
+    eligible scenes, returning (direct [N,3], valid, ks, normal, position).
+    Differentiable w.r.t. vertices, normals, materials, point lights, AND the
+    ray origins/dirs (the two-phase reflected-ray chain) through the custom
+    VJP.  Gather mode: in-kernel masked select for tiny tables, XLA
+    pregathered rows otherwise (module docstring)."""
     if interpret is None:
         interpret = _default_interpret()
     prim = jax.lax.stop_gradient(hit.prim_id)
     bits = jax.lax.stop_gradient(bits)
-    tri_table = _tri_table(scene)
-    aux = _aux_table(scene)
     lights = jnp.concatenate(
         [scene.point_lights.position, scene.point_lights.color], axis=1)
-    o = jax.lax.stop_gradient(origins)
-    d = jax.lax.stop_gradient(dirs)
-    outs = _shade_core(tri_table, aux, lights, o, d, prim, bits, interpret)
+    num_tris = scene.num_triangles
+    if num_tris <= SHADE_SELECT_MAX_TRIS:
+        tri_table = _tri_table(scene)
+        aux = _aux_table(scene)
+        outs = _shade_core(tri_table, aux, lights, origins, dirs, prim, bits,
+                           interpret)
+    else:
+        # One differentiable packed-row gather (reconstruct_hit's layout);
+        # miss lanes fall through to row 0 like the select variant.
+        table = jnp.concatenate([_tri_table(scene), _aux_table(scene)],
+                                axis=1)  # [T, 28]
+        rows = table[jnp.clip(prim, 0, num_tris - 1)]
+        outs = _shade_core_pre(rows, lights, origins, dirs, prim, bits,
+                               num_tris, interpret)
     (dr, dg, db, ksx, ksy, ksz, nx, ny, nz, px, py, pz) = outs
     direct = jnp.stack([dr, dg, db], axis=-1)
     ks = jnp.stack([ksx, ksy, ksz], axis=-1)

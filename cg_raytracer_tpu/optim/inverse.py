@@ -122,12 +122,13 @@ def optimize(
     """
     if params is None:
         params = material_params(scene)
-    if "vertices" not in params and cfg.grad_two_phase == "auto":
-        # Material/light-only differentiation: the two-phase gradient
-        # structure is exact for these params (it only drops the
-        # vertex-grad term through the reflected-ray origin) and measured
-        # faster on TPU (scripts/tpu_r3b.py headline).  The optimizer knows
-        # the param set, so it makes the call the config's 'auto' cannot.
+    if cfg.grad_two_phase == "auto":
+        # The two-phase gradient structure is exact for EVERY param set since
+        # round 4: phase 2 recomputes the bounce rays differentiably, so the
+        # vertex-grad term through the reflected-ray origin flows (it was
+        # dropped in round 3, which restricted this flip to material/light
+        # params).  Measured faster on TPU (scripts/tpu_r3b.py headline;
+        # r4 vertex-contract rows in BENCH_NOTES).
         cfg = dataclasses.replace(cfg, grad_two_phase="on")
     # The K-step loop donates params/opt_state buffers; param trees built by
     # material_params/vertex_params ALIAS the caller's scene arrays, so donate

@@ -34,7 +34,8 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
               backend: str = "auto", include_bwd: bool = True, iters: int = 5,
               max_depth: int = 2, data_dir: Optional[str] = None,
               frames_per_call: int = 8,
-              cfg_overrides: Optional[dict] = None) -> dict:
+              cfg_overrides: Optional[dict] = None,
+              include_vertex_params: bool = False) -> dict:
     """Steady-state throughput: ``frames_per_call`` frames (distinct PRNG keys)
     are computed inside ONE jitted call via ``lax.scan`` and the wall time is
     divided by the frame count.  A single frame per call would mostly measure
@@ -76,14 +77,22 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
 
     if include_bwd:
         params = material_params(scn)
+        if include_vertex_params:
+            # Full-gradient contract (round 4): vertices differentiate too —
+            # the two-phase structure threads the reflected-ray chain, so
+            # this exercises the complete vertex-grad path.
+            params["vertices"] = scn.vertices
         if cfg.grad_two_phase == "auto":
-            # Mirror optimize(): material/light-only differentiation selects
-            # the two-phase gradient structure (exact for these params,
-            # measured faster on TPU — scripts/tpu_r3b.py headline).
+            # Mirror optimize(): the two-phase gradient structure is exact
+            # for every param set since round 4 (phase 2 threads the
+            # reflected-ray chain differentiably) and measured faster on TPU
+            # (scripts/tpu_r3b.py headline).
             cfg = dataclasses.replace(cfg, grad_two_phase="on")
 
         def loss_fn(params_, scn_, cam_, key_):
             scn_p = apply_material_params(scn_, params_)
+            if "vertices" in params_:
+                scn_p = dataclasses.replace(scn_p, vertices=params_["vertices"])
             be = make_backend(scn_p, cfg, bvh=bvh)
             img = render_image(scn_p, cam_, cfg, backend=be, key=key_)
             return jnp.mean(img)

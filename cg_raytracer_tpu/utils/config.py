@@ -121,6 +121,25 @@ class RenderConfig:
         # dragon 54.8 -> 50.9, monkey 40.6 -> 39.7 ms (800^2 fwd steady).
         return "4"
 
+    # Node width for the HBM-streaming kernel ('auto' | '2' | '4').  '4' =
+    # the 4-wide collapsed tree + per-leaf DMA pipeline
+    # (pallas_bvh4.py::_pop_step4_hbm): half the scalar-bound pops, and the
+    # collapse halves the node table so the same VMEM budget affords
+    # narrower leaves (less DMA per leaf).  Kept separate from bvh_wide:
+    # the VMEM and streaming kernels have different measured optima.
+    bvh_wide_hbm: str = "auto"
+
+    def resolve_bvh_wide_hbm(self) -> str:
+        if self.bvh_wide_hbm not in ("auto", "2", "4"):
+            raise ValueError(
+                f"bvh_wide_hbm must be 'auto' | '2' | '4', got "
+                f"{self.bvh_wide_hbm!r}")
+        if self.bvh_wide_hbm != "auto":
+            return self.bvh_wide_hbm
+        # 'auto' = '2' (the round-3 binary kernel) until the round-4 donut
+        # A/B (scripts/tpu_r4b.py) shows the 4-wide port winning.
+        return "2"
+
     # Multi-stack interleaving for the 4-wide VMEM kernel: 'N' splits each ray
     # tile into N independent row bands traversing in ONE fused loop (one pop
     # each per iteration).  Pops are scalar/reduction-bound (round-2 measured
@@ -130,7 +149,7 @@ class RenderConfig:
     # (scripts/tpu_il_ab.py, r3_results.jsonl).
     bvh_interleave: str = "auto"
 
-    def resolve_bvh_interleave(self) -> int:
+    def resolve_bvh_interleave(self, hbm: bool = False) -> int:
         if self.bvh_interleave not in ("auto", "1", "2", "4"):
             raise ValueError(
                 f"bvh_interleave must be 'auto' | '1' | '2' | '4', got "
@@ -141,9 +160,12 @@ class RenderConfig:
             # Measured on v5e (scripts/tpu_il_ab.py): interleave 2 wins at
             # every tile size — with 32-row tiles: teacup 68.8 -> 64.1,
             # dragon 39.0 -> 37.9; at the old 64-row default the gap is
-            # larger (teacup 89.2 -> 70.8, dragon 48.1 -> 38.6).
+            # larger (teacup 89.2 -> 70.8, dragon 48.1 -> 38.6).  The HBM
+            # streaming variant gets the same default: its pops additionally
+            # stall on DMA waits, which a second independent band hides.
             n = 2
-        while n > 1 and self.resolve_bvh_tile_rows(wide=True) % (8 * n):
+        rows = self.resolve_bvh_tile_rows(wide=not hbm, hbm=hbm)
+        while n > 1 and rows % (8 * n):
             # Bands must stay 8-sublane aligned.
             n //= 2
         return n
@@ -261,12 +283,14 @@ class RenderConfig:
         return False
 
     # Two-phase gradient structure: phase 1 computes every level's oracle
-    # records (bounce hits + shadow bits + reflection rays) with materials
+    # records (bounce hits + shadow bits + reflection rays) with the scene
     # stop-gradded; phase 2 re-runs reconstruct+shade differentiably over the
-    # records.  Gradients are identical (the one-phase path never
-    # differentiates the oracle either); what changes is the partial-eval
-    # boundary XLA sees — candidate fix for the measured ~4 ms fwd/bwd
-    # composition overhead (scripts/tpu_bwd2.py vs tpu_prof_bwd.py).
+    # records, RECOMPUTING the bounce rays from each level's surface so the
+    # reflected-ray-origin vertex-grad term flows.  Gradients are exact for
+    # every param set (the one-phase path never differentiates the oracle
+    # either); what changes is the partial-eval boundary XLA sees —
+    # the fix for the measured ~4 ms fwd/bwd composition overhead
+    # (scripts/tpu_bwd2.py vs tpu_prof_bwd.py).
     grad_two_phase: str = "auto"
 
     def resolve_grad_two_phase(self) -> bool:

@@ -142,3 +142,74 @@ def test_bvh4_refit_matches_brute_on_moved_geometry():
     tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
     t4 = np.where(np.isinf(np.asarray(h4.t)), 1e9, np.asarray(h4.t))
     assert (~np.isclose(tb, t4, atol=1e-4, rtol=1e-5)).mean() < 0.002
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming 4-wide variant (round 4): per-leaf DMA pipeline + interleaved
+# bands, each with its own buffer/semaphore pair.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("il", [1, 2])
+def test_bvh4_hbm_oracle_matches_brute(il):
+    from cg_raytracer_tpu.ops.pallas_bvh4 import (build_hbm_bvh4,
+                                                  intersect_pallas_bvh4_hbm,
+                                                  occluded_pallas_bvh4_hbm)
+
+    scene = cgrt.load_scene("monkey")
+    # Force small leaf_rows so many DMA round-trips are exercised.
+    _, h4 = build_hbm_bvh4(scene, leaf_rows=2)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    hb = intersect_brute(scene, o, d)
+    hp = intersect_pallas_bvh4_hbm(scene, h4, o, d, tile_rows=16,
+                                   interleave=il, interpret=True)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    tp = np.where(np.isinf(np.asarray(hp.t)), 1e9, np.asarray(hp.t))
+    assert np.isclose(tb, tp, atol=1e-4).mean() > 0.998
+    tm = jnp.full((o.shape[0],), 2.0, jnp.float32)
+    bb = np.asarray(occluded_brute(scene, o, d, tm))
+    bp = np.asarray(occluded_pallas_bvh4_hbm(scene, h4, o, d, tm,
+                                             tile_rows=16, interleave=il,
+                                             interpret=True))
+    assert (bb == bp).mean() > 0.998
+
+
+def test_bvh4_hbm_bounce_matches_vmem_wide():
+    from cg_raytracer_tpu.ops.pallas_bvh4 import (build_hbm_bvh4,
+                                                  bounce_pallas_bvh4_hbm,
+                                                  supports_fused_bounce_bvh4_hbm)
+
+    scene = cgrt.load_scene("monkey")
+    assert supports_fused_bounce_bvh4_hbm(scene)
+    _, p4 = build_packed_bvh4(scene, max_leaf=28)
+    _, h4 = build_hbm_bvh4(scene, leaf_rows=2)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    hit_v, bits_v = bounce_pallas_bvh4(scene, p4, o, d, interpret=True)
+    hit_h, bits_h = bounce_pallas_bvh4_hbm(scene, h4, o, d, tile_rows=16,
+                                           interleave=2, interpret=True)
+    agree = np.asarray(hit_v.prim_id) == np.asarray(hit_h.prim_id)
+    assert agree.mean() > 0.998  # different leaf widths: coincident-t ties
+    assert (np.asarray(bits_v)[agree] == np.asarray(bits_h)[agree]).mean() > 0.995
+
+
+def test_bvh4_hbm_render_matches_binary_hbm():
+    # Full auto-routed render equality: bvh_wide_hbm='4' vs '2' must be a
+    # pure traversal-order change (same oracle contract; <0.5% tie pixels).
+    from cg_raytracer_tpu.models.whitted import build_accel, render_image
+
+    scene = cgrt.load_scene("monkey")
+    cam = cgrt.Camera.default()
+    cfg2 = cgrt.RenderConfig(width=32, height=32, backend="pallas",
+                             pallas_brute_max_tris=4, bvh_wide_hbm="2")
+    cfg4 = dataclasses.replace(cfg2, bvh_wide_hbm="4")
+    # Route past the VMEM kernels by shrinking its cap via monkeypatched
+    # supports: easier — build the HBM accel explicitly and pass it through.
+    from cg_raytracer_tpu.ops.pallas_bvh import build_hbm_bvh
+    from cg_raytracer_tpu.ops.pallas_bvh4 import build_hbm_bvh4
+
+    _, h2 = build_hbm_bvh(scene)
+    _, h4 = build_hbm_bvh4(scene)
+    img2 = np.asarray(render_image(scene, cam, cfg2, bvh=h2))
+    img4 = np.asarray(render_image(scene, cam, cfg4, bvh=h4))
+    bad = (np.abs(img2 - img4).max(-1) > 1e-3).mean()
+    assert bad < 0.005
