@@ -242,7 +242,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                        occluded_pallas_bvh4,
                                        supports_fused_bounce_bvh4)
 
-        use_wide = (cfg.resolve_bvh_wide() == "4" or isinstance(bvh, PackedBVH4))
+        wide_mode = cfg.resolve_bvh_wide()
+        use_wide = (wide_mode in ("4", "8") or isinstance(bvh, PackedBVH4))
         if (use_wide and scene.spherical_lights.position.shape[0] > 0
                 and cfg.resolve_soft_shadow_kernel()
                 and supports_soft_shadow_kernel_bvh(scene)
@@ -257,7 +258,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             if not isinstance(bvh, PackedBVH4):
                 _, bvh = build_packed_bvh4(
                     scene, max_leaf=cfg.resolve_pallas_bvh_max_leaf(),
-                    builder=cfg.resolve_bvh_builder(scene.num_triangles))
+                    builder=cfg.resolve_bvh_builder(scene.num_triangles),
+                    width=int(wide_mode) if wide_mode in ("4", "8") else 4)
             packed4 = bvh
             il = cfg.resolve_bvh_interleave()
             rows = cfg.resolve_bvh_tile_rows(wide=True)
@@ -841,7 +843,9 @@ def build_accel(scene: Scene, cfg: RenderConfig):
 
         if supports_pallas_bvh(scene):
             leaf = cfg.resolve_pallas_bvh_max_leaf()
-            wide = cfg.resolve_bvh_wide() == "4"
+            wide_mode = cfg.resolve_bvh_wide()
+            wide = wide_mode in ("4", "8")
+            wide_w = int(wide_mode) if wide else 4
             soft_cone = (scene.spherical_lights.position.shape[0] > 0
                          and cfg.resolve_soft_shadow_kernel()
                          and supports_soft_shadow_kernel_bvh(scene)
@@ -860,14 +864,16 @@ def build_accel(scene: Scene, cfg: RenderConfig):
                 from ..ops.pallas_bvh4 import build_packed_bvh4
 
                 primary = _cached_accel(
-                    scene, ("pallas-vmem4", leaf, builder),
+                    scene, ("pallas-vmem4", leaf, builder, wide_w),
                     lambda: build_packed_bvh4(scene, max_leaf=leaf,
-                                              builder=builder)[1])
+                                              builder=builder,
+                                              width=wide_w)[1])
                 if soft_cone:
                     soft = _cached_accel(
-                        scene, ("pallas-vmem4-soft", sleaf, sbuilder),
+                        scene, ("pallas-vmem4-soft", sleaf, sbuilder, wide_w),
                         lambda: build_packed_bvh4(scene, max_leaf=sleaf,
-                                                  builder=sbuilder)[1])
+                                                  builder=sbuilder,
+                                                  width=wide_w)[1])
                     return AccelBundle(primary, soft)
                 return primary
             primary = _cached_accel(

@@ -54,28 +54,50 @@ from .pallas_kernels import (MAX_FUSED_LIGHTS, RAY_COLS, RAY_ROWS, SHADOW_EPS,
 
 _BIG = 3.4e38
 _ENC_LEAF_SHIFT = 64  # n_rows packs into the low 6 bits of the leaf encoding
-NODE4_LANES = 28  # 24 box lanes + 4 encoded child entries
+NODE4_LANES = 28  # 24 box lanes + 4 encoded child entries (7 lanes per child)
+
+# Compare-exchange networks (standard ascending networks; the max-first cswap
+# flips every comparator, yielding a DESCENDING sort so the nearest child is
+# pushed last / popped first).  8 = Batcher odd-even mergesort, 19 comparators.
+_SORT_NET = {
+    2: [(0, 1)],
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    8: [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)],
+}
 
 
 class PackedBVH4(NamedTuple):
-    """Kernel-ready 4-wide node table + the binary kernels' triangle rows."""
+    """Kernel-ready wide node table + the binary kernels' triangle rows.
 
-    nodes4: jax.Array  # [N4, 28] f32
+    ``width`` is the node fan-out (4 = two collapsed binary levels per pop,
+    8 = three).  The name predates the 8-wide option; layout per row is
+    width boxes (6 lanes each) followed by width encoded child entries."""
+
+    nodes4: jax.Array  # [Nw, 7 * width] f32
     tri_rows: jax.Array  # [R, 126] f32 (pack_bvh_rows layout)
     slot_to_prim: jax.Array  # [R * 14] i32
     root_enc: int  # static: stack seed (root node id, or leaf encoding)
     num_nodes: int
+    width: int = 4
 
 
 jax.tree_util.register_pytree_node(
     PackedBVH4,
-    lambda p: ((p.nodes4, p.tri_rows, p.slot_to_prim), (p.root_enc, p.num_nodes)),
-    lambda aux, ch: PackedBVH4(*ch, root_enc=aux[0], num_nodes=aux[1]),
+    lambda p: ((p.nodes4, p.tri_rows, p.slot_to_prim),
+               (p.root_enc, p.num_nodes, p.width)),
+    lambda aux, ch: PackedBVH4(*ch, root_enc=aux[0], num_nodes=aux[1],
+                               width=aux[2] if len(aux) > 2 else 4),
 )
 
 
-def collapse_bvh4(packed: PackedBVH) -> PackedBVH4:
-    """Host-side collapse of the packed binary tree into 4-wide nodes."""
+def collapse_bvhw(packed: PackedBVH, width: int = 4) -> PackedBVH4:
+    """Host-side collapse of the packed binary tree into width-wide nodes
+    (width binary levels merged per node: 4 -> 2 levels, 8 -> 3)."""
+    assert width in (4, 8)
+    levels = {4: 2, 8: 3}[width]
+    lanes = 7 * width
     nodes = np.asarray(packed.nodes)
     left = nodes[:, 6].astype(np.int64)
     right = nodes[:, 7].astype(np.int64)
@@ -91,65 +113,62 @@ def collapse_bvh4(packed: PackedBVH) -> PackedBVH4:
         assert -e < (1 << 24), "leaf encoding exceeds float32-exact range"
         return float(e)
 
-    rows = []  # each: (box[4][6], enc[4]) with binary ids for internal children
-    id4_of = {}  # binary node id -> bvh4 row index (internal nodes only)
+    def collect(b, depth):
+        """Descend up to ``depth`` binary levels; emit (lo, hi, enc) entries."""
+        b = int(b)
+        if is_leaf[b]:
+            return [(lo[b], hi[b], leaf_enc(b))]
+        if depth == 0:
+            return [(lo[b], hi[b], ("node", b))]
+        return (collect(left[b], depth - 1)
+                + collect(right[b], depth - 1))
+
+    rows = []  # each: list of (lo, hi, enc) with ("node", id) placeholders
+    idw_of = {}  # binary node id -> wide row index (internal nodes only)
 
     def emit(b):
-        """Create the BVH4 row for internal binary node b; returns its id."""
-        if b in id4_of:
-            return id4_of[b]
+        """Create the wide row for internal binary node b; returns its id."""
+        if b in idw_of:
+            return idw_of[b]
         my = len(rows)
-        id4_of[b] = my
-        rows.append(None)  # reserve slot (children may emit recursively)
-        children = []  # (binary id or None-for-leaf, lo, hi, enc_placeholder)
-        for c in (left[b], right[b]):
-            c = int(c)
-            if is_leaf[c]:
-                children.append((lo[c], hi[c], leaf_enc(c)))
-            else:
-                gl, gr = int(left[c]), int(right[c])
-                for g in (gl, gr):
-                    if is_leaf[g]:
-                        children.append((lo[g], hi[g], leaf_enc(g)))
-                    else:
-                        children.append((lo[g], hi[g], ("node", g)))
-        assert len(children) <= 4
-        rows[my] = children
+        idw_of[b] = my
+        children = (collect(left[b], levels - 1)
+                    + collect(right[b], levels - 1))
+        assert len(children) <= width
+        rows.append(children)
         return my
 
     # Root handling: a leaf root never touches the node table.
     if is_leaf[0]:
         root_enc = leaf_enc(0)
-        n4 = 1
-        table = np.full((1, NODE4_LANES), np.nan, np.float32)
-        table[:, 24:28] = 0.0
+        nw = 1
+        table = np.full((1, lanes), np.nan, np.float32)
+        table[:, 6 * width:] = 0.0
     else:
         # Iterative BFS emit (recursion depth could hit Python limits).
-        pending = [0]
         emit(0)
-        # emit() above is shallow (no recursion) — walk the worklist.
         i = 0
         while i < len(rows):
             for c in rows[i]:
                 if isinstance(c[2], tuple):
                     emit(c[2][1])
             i += 1
-        n4 = len(rows)
-        assert n4 < (1 << 24)
-        table = np.zeros((n4, NODE4_LANES), np.float32)
+        nw = len(rows)
+        assert nw < (1 << 24)
+        table = np.zeros((nw, lanes), np.float32)
         # Empty child slots carry NaN boxes: every slab comparison is false, so
         # they can never be visited.  (An "inverted" lo > hi box does NOT work:
         # the slab test's per-axis min/max un-inverts it into an
         # everything-box — measured as an infinite traversal loop.)
-        for c in range(4):
+        for c in range(width):
             table[:, 6 * c:6 * c + 6] = np.nan
         for my, children in enumerate(rows):
             for c, (clo, chi, enc) in enumerate(children):
                 table[my, 6 * c:6 * c + 3] = clo
                 table[my, 6 * c + 3:6 * c + 6] = chi
                 if isinstance(enc, tuple):
-                    enc = float(id4_of[enc[1]])
-                table[my, 24 + c] = enc
+                    enc = float(idw_of[enc[1]])
+                table[my, 6 * width + c] = enc
         root_enc = 0.0
 
     return PackedBVH4(
@@ -157,14 +176,20 @@ def collapse_bvh4(packed: PackedBVH) -> PackedBVH4:
         tri_rows=packed.tri_rows,
         slot_to_prim=packed.slot_to_prim,
         root_enc=float(root_enc),
-        num_nodes=n4,
+        num_nodes=nw,
+        width=width,
     )
 
 
-def build_packed_bvh4(scene: Scene, max_leaf: int, builder: str = "median"):
-    """Host build: binary BVH -> packed rows -> 4-wide collapse."""
+def collapse_bvh4(packed: PackedBVH) -> PackedBVH4:
+    return collapse_bvhw(packed, width=4)
+
+
+def build_packed_bvh4(scene: Scene, max_leaf: int, builder: str = "median",
+                      width: int = 4):
+    """Host build: binary BVH -> packed rows -> width-wide collapse."""
     bvh = build_bvh(scene, max_leaf=max_leaf, builder=builder)
-    return bvh, collapse_bvh4(pack_bvh_rows(bvh))
+    return bvh, collapse_bvhw(pack_bvh_rows(bvh), width=width)
 
 
 def _slab4(ox, oy, oz, ix, iy, iz, row, c):
@@ -185,9 +210,41 @@ def _slab4(ox, oy, oz, ix, iy, iz, row, c):
     return tin, hit
 
 
+def _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp, t_best,
+                     rayvars, width: int):
+    """Shared internal-node pop: ``width`` slab tests + masked-min reduces, a
+    compare-exchange network on (tin, enc) pairs (DESCENDING tin, so the
+    nearest child is pushed last / popped first), then guarded pushes.
+    Returns the updated stack pointer."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, t0 = rayvars
+    row = nodes4_ref[enc.astype(jnp.int32)]
+    tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
+    bound = t_best + tpad
+    ts = []
+    for ci in range(width):
+        tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
+        hit = hit & (tin <= bound)
+        ts.append(jnp.min(jnp.where(hit, tin, _BIG)))
+    es = [row[6 * width + c] for c in range(width)]
+
+    def cswap(ta, ea, tb, eb):
+        sw = ta < tb
+        return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
+                jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
+
+    for a, b in _SORT_NET[width]:
+        ts[a], es[a], ts[b], es[b] = cswap(ts[a], es[a], ts[b], es[b])
+
+    for tv, ev in zip(ts, es):
+        stack_ref[sp] = ev
+        tstack_ref[sp] = tv
+        sp = sp + jnp.where(tv < _BIG, 1, 0)
+    return sp
+
+
 def _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, state,
-               any_hit: bool):
-    """One guarded pop of one tile's 4-wide traversal.
+               any_hit: bool, width: int = 4):
+    """One guarded pop of one tile's wide traversal.
 
     ``rv`` = (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0) ray-tile vectors;
     ``state`` = (sp, t_best, slot, u, v, done, t_ub).  Shared by the
@@ -212,34 +269,8 @@ def _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, state,
 
     def internal_fn(args):
         sp, t_best, slot, u, v, done, t_ub = args
-        row = nodes4_ref[enc.astype(jnp.int32)]
-        tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
-        bound = t_best + tpad
-        tins = []
-        for ci in range(4):
-            tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
-            hit = hit & (tin <= bound)
-            tins.append(jnp.min(jnp.where(hit, tin, _BIG)))
-        e0, e1, e2, e3 = row[24], row[25], row[26], row[27]
-        t0_, t1_, t2_, t3_ = tins
-
-        # 4-element sorting network on (tin, enc) pairs, DESCENDING tin,
-        # so the nearest child is pushed last (popped first).
-        def cswap(ta, ea, tb, eb):
-            sw = ta < tb
-            return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
-                    jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
-
-        t0_, e0, t1_, e1 = cswap(t0_, e0, t1_, e1)
-        t2_, e2, t3_, e3 = cswap(t2_, e2, t3_, e3)
-        t0_, e0, t2_, e2 = cswap(t0_, e0, t2_, e2)
-        t1_, e1, t3_, e3 = cswap(t1_, e1, t3_, e3)
-        t1_, e1, t2_, e2 = cswap(t1_, e1, t2_, e2)
-
-        for tv, ev in ((t0_, e0), (t1_, e1), (t2_, e2), (t3_, e3)):
-            stack_ref[sp] = ev
-            tstack_ref[sp] = tv
-            sp = sp + jnp.where(tv < _BIG, 1, 0)
+        sp = _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp,
+                              t_best, rv, width)
         return sp, t_best, slot, u, v, done, t_ub
 
     def leaf_fn(args):
@@ -293,7 +324,7 @@ def _init_state4(t0):
 
 def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
                     ox, oy, oz, dx, dy, dz, t0, root_enc: float,
-                    any_hit: bool):
+                    any_hit: bool, width: int = 4):
     """Tile-synchronous 4-wide traversal (see module docstring).  Same return
     contract as pallas_bvh._traverse_vmem: (t_best, slot, u, v)."""
     rv = _rayvars(ox, oy, oz, dx, dy, dz, t0)
@@ -307,14 +338,14 @@ def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
 
     def body(c):
         return _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, c,
-                          any_hit)
+                          any_hit, width)
 
     out = jax.lax.while_loop(cond, body, _init_state4(t0))
     return out[1], out[2], out[3], out[4]
 
 
 def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
-                       root_enc: float, any_hit: bool):
+                       root_enc: float, any_hit: bool, width: int = 4):
     """Interleaved multi-stack traversal: N INDEPENDENT sub-tiles walk the
     tree in one fused while-loop, one pop each per iteration.
 
@@ -341,7 +372,7 @@ def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
     def body(states):
         return tuple(
             _pop_step4(stacks[2 * k], stacks[2 * k + 1], nodes4_ref,
-                       tris_ref, rvs_list[k], states[k], any_hit)
+                       tris_ref, rvs_list[k], states[k], any_hit, width)
             for k in range(nway)
         )
 
@@ -353,11 +384,11 @@ def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
 def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
                  u_ref, v_ref, stack_ref, tstack_ref,
-                 *, root_enc: float, any_hit: bool):
+                 *, root_enc: float, any_hit: bool, width: int = 4):
     t_best, slot, u, v = _traverse4_vmem(
         stack_ref, tstack_ref, nodes4_ref, tris_ref,
         ox_ref[0], oy_ref[0], oz_ref[0], dx_ref[0], dy_ref[0], dz_ref[0],
-        tmax_ref[0], root_enc, any_hit=any_hit,
+        tmax_ref[0], root_enc, any_hit=any_hit, width=width,
     )
     t_ref[0] = t_best
     slot_ref[0] = slot
@@ -372,7 +403,8 @@ def _split_rows(a, nway):
 
 def _bvh4_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
-                    u_ref, v_ref, *stacks, root_enc: float, any_hit: bool):
+                    u_ref, v_ref, *stacks, root_enc: float, any_hit: bool,
+                    width: int = 4):
     """Interleaved variant: the tile's row bands traverse as N independent
     stacks in one fused loop (see _traverse4_vmem_xn)."""
     nway = len(stacks) // 2
@@ -381,7 +413,7 @@ def _bvh4_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     outs = _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs,
-                              root_enc, any_hit)
+                              root_enc, any_hit, width)
     t_ref[0] = jnp.concatenate([o[0] for o in outs], axis=0)
     slot_ref[0] = jnp.concatenate([o[1] for o in outs], axis=0)
     u_ref[0] = jnp.concatenate([o[2] for o in outs], axis=0)
@@ -391,7 +423,8 @@ def _bvh4_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                            tmax_ref, nodes4_ref, tris_ref, lights_ref,
                            t_ref, slot_ref, u_ref, v_ref, shadow_ref,
-                           *stacks, root_enc: float, num_lights: int):
+                           *stacks, root_enc: float, num_lights: int,
+                           width: int = 4):
     """Interleaved fused bounce: closest-hit then per-light shadow any-hit,
     each as an N-stack interleaved walk over the tile's row bands."""
     nway = len(stacks) // 2
@@ -400,7 +433,7 @@ def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     closest = _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs,
-                                 root_enc, any_hit=False)
+                                 root_enc, any_hit=False, width=width)
 
     hits = [sl >= 0 for (_, sl, _, _) in closest]
     pos = []
@@ -428,7 +461,7 @@ def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         shadow = _traverse4_vmem_xn(
             stacks, nodes4_ref, tris_ref,
             [shadow_rv(*pos[k], hits[k]) for k in range(nway)],
-            root_enc, any_hit=True)
+            root_enc, any_hit=True, width=width)
         for k in range(nway):
             bits[k] = bits[k] | ((shadow[k][1] >= 0).astype(jnp.int32) << li)
 
@@ -443,7 +476,8 @@ def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, nodes4_ref, tris_ref, lights_ref,
                         t_ref, slot_ref, u_ref, v_ref, shadow_ref,
                         stack_ref, tstack_ref,
-                        *, root_enc: float, num_lights: int):
+                        *, root_enc: float, num_lights: int,
+                        width: int = 4):
     """Fused bounce (closest + per-point-light shadow any-hit) over the 4-wide
     tree; same contract as pallas_bvh._bvh_bounce_kernel."""
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
@@ -451,7 +485,7 @@ def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     t_best, slot, u, v = _traverse4_vmem(
         stack_ref, tstack_ref, nodes4_ref, tris_ref, ox, oy, oz, dx, dy, dz,
-        tmax_ref[0], root_enc, any_hit=False,
+        tmax_ref[0], root_enc, any_hit=False, width=width,
     )
 
     hit = slot >= 0
@@ -476,6 +510,7 @@ def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         _, slot_s, _, _ = _traverse4_vmem(
             stack_ref, tstack_ref, nodes4_ref, tris_ref,
             sox, soy, soz, sdx, sdy, sdz, tmax_l, root_enc, any_hit=True,
+            width=width,
         )
         shadow_bits = shadow_bits | ((slot_s >= 0).astype(jnp.int32) << li)
 
@@ -493,12 +528,13 @@ def _stack_scratch(interleave: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "any_hit", "interpret",
-                                    "interleave"))
+                                    "interleave", "width"))
 def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
-               any_hit=False, interpret=False, interleave=1):
+               any_hit=False, interpret=False, interleave=1, width=4):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     base = _bvh4_kernel if interleave == 1 else _bvh4_kernel_xn
-    kernel = functools.partial(base, root_enc=root_enc, any_hit=any_hit)
+    kernel = functools.partial(base, root_enc=root_enc, any_hit=any_hit,
+                               width=width)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -534,7 +570,8 @@ def _run4(packed: PackedBVH4, origins, dirs, t_max, any_hit, interpret,
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
     t, slot, u, v = _bvh4_call(rays, tm_tiles, packed.nodes4, packed.tri_rows,
                                packed.root_enc, any_hit=any_hit,
-                               interpret=interpret, interleave=interleave)
+                               interpret=interpret, interleave=interleave,
+                               width=packed.width)
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(slot), flat(u), flat(v), n
 
@@ -575,14 +612,14 @@ def occluded_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs, t_max,
 
 
 @functools.partial(jax.jit, static_argnames=("root_enc", "interpret",
-                                             "interleave"))
+                                             "interleave", "width"))
 def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
-                      interpret=False, interleave=1):
+                      interpret=False, interleave=1, width=4):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     base = (_bvh4_bounce_kernel if interleave == 1
             else _bvh4_bounce_kernel_xn)
     kernel = functools.partial(base, root_enc=root_enc,
-                               num_lights=lights.shape[0])
+                               num_lights=lights.shape[0], width=width)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -619,7 +656,7 @@ def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
 def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
                             nodes4_ref, tris_ref, light_ref, cnt_ref,
                             stack_ref, tstack_ref,
-                            *, num_samples, rows, root_enc):
+                            *, num_samples, rows, root_enc, width=4):
     pltpu.prng_seed(seed_ref[0],
                     seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
     shape = (rows, RAY_COLS)
@@ -643,7 +680,8 @@ def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
             px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
         _, slot, _, _ = _traverse4_vmem(
             stack_ref, tstack_ref, nodes4_ref, tris_ref,
-            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True)
+            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True,
+            width=width)
         cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
     total = jnp.sum(cnt, axis=0, keepdims=True)  # (1, 128) per-pixel counts
     cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
@@ -652,7 +690,7 @@ def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
 def _soft4_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
                              nodes4_ref, tris_ref, light_ref, cnt_ref,
                              stack_ref, tstack_ref,
-                             *, num_samples, rows, root_enc):
+                             *, num_samples, rows, root_enc, width=4):
     """Table variant (CPU interpret tests): precomputed Gaussians."""
     shape = (rows, RAY_COLS)
     bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
@@ -673,7 +711,8 @@ def _soft4_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
             px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
         _, slot, _, _ = _traverse4_vmem(
             stack_ref, tstack_ref, nodes4_ref, tris_ref,
-            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True)
+            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True,
+            width=width)
         cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
     total = jnp.sum(cnt, axis=0, keepdims=True)
     cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
@@ -685,13 +724,15 @@ def _pix_spec4():
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "rows",
-                                             "root_enc", "interpret"))
+                                             "root_enc", "interpret",
+                                             "width"))
 def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
-                          num_samples, rows, root_enc, interpret=False):
+                          num_samples, rows, root_enc, interpret=False,
+                          width=4):
     g = pix4[0].shape[0]
     kernel = functools.partial(_soft4_cone_prng_kernel,
                                num_samples=num_samples, rows=rows,
-                               root_enc=root_enc)
+                               root_enc=root_enc, width=width)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -709,14 +750,16 @@ def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "rows",
-                                             "root_enc", "interpret"))
+                                             "root_enc", "interpret",
+                                             "width"))
 def _soft4_cone_table_call(pix4, light_row, gauss, nodes4, tri_rows,
-                           num_samples, rows, root_enc, interpret=True):
+                           num_samples, rows, root_enc, interpret=True,
+                           width=4):
     g = pix4[0].shape[0]
     passes = gauss.shape[1]
     kernel = functools.partial(_soft4_cone_table_kernel,
                                num_samples=num_samples, rows=rows,
-                               root_enc=root_enc)
+                               root_enc=root_enc, width=width)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -763,7 +806,8 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
         cnt = _soft4_cone_prng_call(pix4, light_row, _key_seeds(key),
                                     packed.nodes4, packed.tri_rows,
                                     num_samples, sample_rows,
-                                    packed.root_enc, interpret=False)
+                                    packed.root_enc, interpret=False,
+                                    width=packed.width)
     else:
         if gauss.shape[0] != num_samples:
             raise ValueError(
@@ -773,7 +817,8 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
         cnt = _soft4_cone_table_call(pix4, light_row, gp,
                                      packed.nodes4, packed.tri_rows,
                                      num_samples, sample_rows,
-                                     packed.root_enc, interpret=interpret)
+                                     packed.root_enc, interpret=interpret,
+                                     width=packed.width)
     return cnt[:, 0, :].reshape(-1)[:n].astype(jnp.float32)
 
 
@@ -794,27 +839,29 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
 
 
 class HBMBVH4(NamedTuple):
-    """4-wide node table (VMEM-sized) + HBM-resident triangle rows."""
+    """Wide node table (VMEM-sized) + HBM-resident triangle rows."""
 
-    nodes4: jax.Array  # [N4, 28] f32 (VMEM)
+    nodes4: jax.Array  # [Nw, 7 * width] f32 (VMEM)
     tri_rows: jax.Array  # [R + leaf_rows, 128] f32 (HBM; lane/tail-padded)
     slot_to_prim: jax.Array  # [R * 14] i32 (-1 on padding)
     root_enc: float
     num_nodes: int
     leaf_rows: int  # fixed DMA block height; every leaf has <= this many rows
+    width: int = 4
 
 
 jax.tree_util.register_pytree_node(
     HBMBVH4,
     lambda p: ((p.nodes4, p.tri_rows, p.slot_to_prim),
-               (p.root_enc, p.num_nodes, p.leaf_rows)),
+               (p.root_enc, p.num_nodes, p.leaf_rows, p.width)),
     lambda aux, ch: HBMBVH4(*ch, root_enc=aux[0], num_nodes=aux[1],
-                            leaf_rows=aux[2]),
+                            leaf_rows=aux[2],
+                            width=aux[3] if len(aux) > 3 else 4),
 )
 
 
 def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
-                   builder: str = "median"):
+                   builder: str = "median", width: int = 4):
     """Host-side build+collapse+pack for the HBM-streaming 4-wide kernel.
 
     Picks the NARROWEST leaf width whose collapsed node table fits the
@@ -829,7 +876,7 @@ def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
     last = None
     for rows in candidates:
         bvh = build_bvh(scene, max_leaf=rows * TRIS_PER_ROW, builder=builder)
-        packed4 = collapse_bvh4(pack_bvh_rows(bvh))
+        packed4 = collapse_bvhw(pack_bvh_rows(bvh), width=width)
         last = (bvh, packed4, rows)
         if packed4.nodes4.shape[0] * 512 <= HBM_NODE_BYTES_BUDGET:
             break
@@ -848,6 +895,7 @@ def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
         root_enc=packed4.root_enc,
         num_nodes=packed4.num_nodes,
         leaf_rows=rows,
+        width=width,
     )
 
 
@@ -867,7 +915,8 @@ def _hbm_state4(t0):
 
 
 def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
-                   dma_sem, rv, state, any_hit: bool, leaf_rows: int):
+                   dma_sem, rv, state, any_hit: bool, leaf_rows: int,
+                   width: int = 4):
     """One guarded pop of one band's HBM-streaming 4-wide traversal.
 
     Pipeline identical to pallas_bvh._traverse_hbm: one leaf in flight while
@@ -921,32 +970,8 @@ def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
     def internal_fn(args):
         (sp, t_best, slot, u, v, done, t_ub,
          p_valid, p_row, p_rows, p_slot) = args
-        row = nodes4_ref[enc.astype(jnp.int32)]
-        tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
-        bound = t_best + tpad
-        tins = []
-        for ci in range(4):
-            tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
-            hit = hit & (tin <= bound)
-            tins.append(jnp.min(jnp.where(hit, tin, _BIG)))
-        e0, e1, e2, e3 = row[24], row[25], row[26], row[27]
-        t0_, t1_, t2_, t3_ = tins
-
-        def cswap(ta, ea, tb, eb):
-            sw = ta < tb
-            return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
-                    jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
-
-        t0_, e0, t1_, e1 = cswap(t0_, e0, t1_, e1)
-        t2_, e2, t3_, e3 = cswap(t2_, e2, t3_, e3)
-        t0_, e0, t2_, e2 = cswap(t0_, e0, t2_, e2)
-        t1_, e1, t3_, e3 = cswap(t1_, e1, t3_, e3)
-        t1_, e1, t2_, e2 = cswap(t1_, e1, t2_, e2)
-
-        for tv, ev in ((t0_, e0), (t1_, e1), (t2_, e2), (t3_, e3)):
-            stack_ref[sp] = ev
-            tstack_ref[sp] = tv
-            sp = sp + jnp.where(tv < _BIG, 1, 0)
+        sp = _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp,
+                              t_best, rv, width)
         return (sp, t_best, slot, u, v, done, t_ub,
                 p_valid, p_row, p_rows, p_slot)
 
@@ -993,7 +1018,8 @@ def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
 
 
 def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
-                      root_enc: float, any_hit: bool, leaf_rows: int):
+                      root_enc: float, any_hit: bool, leaf_rows: int,
+                      width: int = 4):
     """Interleaved multi-band HBM-streaming traversal: each band owns a
     (stack, tstack, tri_buf, sem) set and walks independently in one fused
     loop.  Returns a list of (t, slot, u, v) per band."""
@@ -1013,7 +1039,7 @@ def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
         return tuple(
             _pop_step4_hbm(stacks[2 * k], stacks[2 * k + 1], nodes4_ref,
                            tris_hbm_ref, bufs[k], sems[k], rvs_list[k],
-                           states[k], any_hit, leaf_rows)
+                           states[k], any_hit, leaf_rows, width)
             for k in range(nway)
         )
 
@@ -1025,7 +1051,7 @@ def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
 def _bvh4_hbm_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, nodes4_ref, tris_hbm_ref, t_ref, slot_ref,
                         u_ref, v_ref, *scratch, root_enc: float, any_hit: bool,
-                        leaf_rows: int, interleave: int):
+                        leaf_rows: int, interleave: int, width: int = 4):
     nway = interleave
     stacks = scratch[:2 * nway]
     bufs = scratch[2 * nway:3 * nway]
@@ -1035,7 +1061,7 @@ def _bvh4_hbm_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     outs = _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
-                             rvs, root_enc, any_hit, leaf_rows)
+                             rvs, root_enc, any_hit, leaf_rows, width)
     t_ref[0] = jnp.concatenate([o[0] for o in outs], axis=0)
     slot_ref[0] = jnp.concatenate([o[1] for o in outs], axis=0)
     u_ref[0] = jnp.concatenate([o[2] for o in outs], axis=0)
@@ -1046,7 +1072,8 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                                tmax_ref, nodes4_ref, tris_hbm_ref, lights_ref,
                                t_ref, slot_ref, u_ref, v_ref, shadow_ref,
                                *scratch, root_enc: float, num_lights: int,
-                               leaf_rows: int, interleave: int):
+                               leaf_rows: int, interleave: int,
+                               width: int = 4):
     """Interleaved fused bounce over the HBM-streaming 4-wide tree: closest
     hit then per-light shadow any-hit, sharing each band's scratch (the DMA
     pipeline fully drains between traversals — cond holds until p_valid
@@ -1061,7 +1088,7 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     closest = _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
                                 rvs, root_enc, any_hit=False,
-                                leaf_rows=leaf_rows)
+                                leaf_rows=leaf_rows, width=width)
 
     hits = [sl >= 0 for (_, sl, _, _) in closest]
     pos = []
@@ -1089,7 +1116,7 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         shadow = _traverse4_hbm_xn(
             stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
             [shadow_rv(*pos[k], hits[k]) for k in range(nway)],
-            root_enc, any_hit=True, leaf_rows=leaf_rows)
+            root_enc, any_hit=True, leaf_rows=leaf_rows, width=width)
         for k in range(nway):
             bits[k] = bits[k] | ((shadow[k][1] >= 0).astype(jnp.int32) << li)
 
@@ -1109,13 +1136,14 @@ def _hbm4_scratch(interleave: int, leaf_rows: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "any_hit", "leaf_rows",
-                                    "interpret", "interleave"))
+                                    "interpret", "interleave", "width"))
 def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
-                   any_hit=False, leaf_rows=4, interpret=False, interleave=1):
+                   any_hit=False, leaf_rows=4, interpret=False, interleave=1,
+                   width=4):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh4_hbm_kernel_xn, root_enc=root_enc,
                                any_hit=any_hit, leaf_rows=leaf_rows,
-                               interleave=interleave)
+                               interleave=interleave, width=width)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -1140,14 +1168,15 @@ def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "leaf_rows", "interpret",
-                                    "interleave"))
+                                    "interleave", "width"))
 def _bvh4_hbm_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights,
                           root_enc, leaf_rows=4, interpret=False,
-                          interleave=1):
+                          interleave=1, width=4):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh4_hbm_bounce_kernel_xn, root_enc=root_enc,
                                num_lights=lights.shape[0],
-                               leaf_rows=leaf_rows, interleave=interleave)
+                               leaf_rows=leaf_rows, interleave=interleave,
+                               width=width)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -1189,7 +1218,8 @@ def _run4_hbm(packed: HBMBVH4, origins, dirs, t_max, any_hit, interpret,
                                    packed.tri_rows, packed.root_enc,
                                    any_hit=any_hit,
                                    leaf_rows=packed.leaf_rows,
-                                   interpret=interpret, interleave=interleave)
+                                   interpret=interpret, interleave=interleave,
+                                   width=packed.width)
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(slot), flat(u), flat(v), n
 
@@ -1261,7 +1291,7 @@ def bounce_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
     t, slot, u, v, bits = _bvh4_hbm_bounce_call(
         rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
         packed.root_enc, leaf_rows=packed.leaf_rows, interpret=interpret,
-        interleave=interleave)
+        interleave=interleave, width=packed.width)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)],
@@ -1300,7 +1330,8 @@ def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
     lights = jax.lax.stop_gradient(scene.point_lights.position)
     t, slot, u, v, bits = _bvh4_bounce_call(
         rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
-        packed.root_enc, interpret=interpret, interleave=interleave)
+        packed.root_enc, interpret=interpret, interleave=interleave,
+        width=packed.width)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)

@@ -133,6 +133,11 @@ def make_refit_plan(accel, scene: Scene) -> RefitPlan:
             left=left, right=right, num_nodes=nodes.shape[0],
         )
     if isinstance(accel, PackedBVH4):
+        if accel.width != 4:
+            raise NotImplementedError(
+                f"refit supports width-4 wide trees only (got width="
+                f"{accel.width}); build the accel with bvh_wide='4' when "
+                f"optimizing vertices")
         nodes4 = np.asarray(accel.nodes4)
         stp = np.asarray(accel.slot_to_prim)
         n4 = nodes4.shape[0]

@@ -111,9 +111,13 @@ class RenderConfig:
     bvh_wide: str = "auto"
 
     def resolve_bvh_wide(self) -> str:
-        if self.bvh_wide not in ("auto", "2", "4"):
+        # '8' (round 4): one pop descends THREE binary levels — 8 slab tests
+        # + a 19-comparator sort per pop, half the 4-wide pop count.  A/B'd
+        # by scripts/tpu_r4b.py; auto stays '4' unless it wins.
+        if self.bvh_wide not in ("auto", "2", "4", "8"):
             raise ValueError(
-                f"bvh_wide must be 'auto' | '2' | '4', got {self.bvh_wide!r}")
+                f"bvh_wide must be 'auto' | '2' | '4' | '8', got "
+                f"{self.bvh_wide!r}")
         if self.bvh_wide != "auto":
             return self.bvh_wide
         # Measured on v5e (scripts/tpu_r3_sweep.py bvh4_ab, r3_results.jsonl):

@@ -213,3 +213,36 @@ def test_bvh4_hbm_render_matches_binary_hbm():
     img4 = np.asarray(render_image(scene, cam, cfg4, bvh=h4))
     bad = (np.abs(img2 - img4).max(-1) > 1e-3).mean()
     assert bad < 0.005
+
+
+@pytest.mark.parametrize("il", [1, 2])
+def test_bvh8_oracle_matches_brute(il):
+    # width=8: three binary levels per pop, 19-comparator ordering network.
+    scene = cgrt.load_scene("monkey")
+    _, p8 = build_packed_bvh4(scene, max_leaf=28, width=8)
+    assert p8.width == 8 and p8.nodes4.shape[1] == 56
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    hb = intersect_brute(scene, o, d)
+    h8 = intersect_pallas_bvh4(scene, p8, o, d, tile_rows=16, interleave=il)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    t8 = np.where(np.isinf(np.asarray(h8.t)), 1e9, np.asarray(h8.t))
+    assert np.isclose(tb, t8, atol=1e-4).mean() > 0.998
+    tm = jnp.full((o.shape[0],), 2.0, jnp.float32)
+    bb = np.asarray(occluded_brute(scene, o, d, tm))
+    b8 = np.asarray(occluded_pallas_bvh4(scene, p8, o, d, tm, tile_rows=16,
+                                         interleave=il))
+    assert (bb == b8).mean() > 0.998
+
+
+def test_bvh8_bounce_matches_width4():
+    scene = cgrt.load_scene("monkey")
+    _, p4 = build_packed_bvh4(scene, max_leaf=28, width=4)
+    _, p8 = build_packed_bvh4(scene, max_leaf=28, width=8)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    h4, b4 = bounce_pallas_bvh4(scene, p4, o, d, interpret=True)
+    h8, b8 = bounce_pallas_bvh4(scene, p8, o, d, interpret=True)
+    # Same binary tree underneath: prim ids must agree exactly up to
+    # coincident-t ties.
+    agree = np.asarray(h4.prim_id) == np.asarray(h8.prim_id)
+    assert agree.mean() > 0.998
+    assert (np.asarray(b4)[agree] == np.asarray(b8)[agree]).mean() > 0.995
