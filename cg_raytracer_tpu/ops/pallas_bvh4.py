@@ -861,7 +861,8 @@ jax.tree_util.register_pytree_node(
 
 
 def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
-                   builder: str = "median", width: int = 4):
+                   builder: str = "median", width: int = 4,
+                   tri_dtype=jnp.float32):
     """Host-side build+collapse+pack for the HBM-streaming 4-wide kernel.
 
     Picks the NARROWEST leaf width whose collapsed node table fits the
@@ -886,8 +887,13 @@ def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
             f"even at 32-row leaves; shard the scene instead "
             f"(parallel/geometry.py)")
     bvh, packed4, rows = last
+    # tri_dtype=bfloat16 halves the per-leaf DMA bytes (the streamed scenes
+    # are bandwidth-bound); MT accumulates in f32 after an in-register cast,
+    # but the GEOMETRY is quantized (~0.4% rel) — silhouette/t precision
+    # must be A/B'd before any auto flips (scripts/tpu_r4b.py bf16).
     tri_rows = jnp.pad(packed4.tri_rows,
                        ((0, rows), (0, 128 - TRIS_PER_ROW * 9)))
+    tri_rows = tri_rows.astype(tri_dtype)
     return bvh, HBMBVH4(
         nodes4=packed4.nodes4,
         tri_rows=tri_rows,
@@ -943,7 +949,7 @@ def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
     def sweep_pending(carry, base_row, n_rows, buf_slot):
         def row_body(r, lc):
             t_b, sl, uu, vv = lc
-            trow = tri_buf[buf_slot, r]
+            trow = tri_buf[buf_slot, r].astype(jnp.float32)
             for k in range(TRIS_PER_ROW):
                 tri = [trow[9 * k + j] for j in range(9)]
                 t, u_, v_, ok = _mt_tile(ox, oy, oz, dx, dy, dz, tri)
@@ -1127,9 +1133,9 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = jnp.concatenate(bits, axis=0)
 
 
-def _hbm4_scratch(interleave: int, leaf_rows: int):
+def _hbm4_scratch(interleave: int, leaf_rows: int, dtype=jnp.float32):
     return (_stack_scratch(interleave)
-            + [pltpu.VMEM((2, leaf_rows, 128), jnp.float32)
+            + [pltpu.VMEM((2, leaf_rows, 128), dtype)
                for _ in range(interleave)]
             + [pltpu.SemaphoreType.DMA((2,)) for _ in range(interleave)])
 
@@ -1161,7 +1167,7 @@ def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
         ],
         out_specs=[ray_spec() for _ in range(4)],
         out_shape=out_shape,
-        scratch_shapes=_hbm4_scratch(interleave, leaf_rows),
+        scratch_shapes=_hbm4_scratch(interleave, leaf_rows, tri_rows.dtype),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows)
 
@@ -1196,7 +1202,7 @@ def _bvh4_hbm_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights,
         ],
         out_specs=[ray_spec() for _ in range(5)],
         out_shape=out_shape,
-        scratch_shapes=_hbm4_scratch(interleave, leaf_rows),
+        scratch_shapes=_hbm4_scratch(interleave, leaf_rows, tri_rows.dtype),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows, lights)
 

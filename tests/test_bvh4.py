@@ -246,3 +246,23 @@ def test_bvh8_bounce_matches_width4():
     agree = np.asarray(h4.prim_id) == np.asarray(h8.prim_id)
     assert agree.mean() > 0.998
     assert (np.asarray(b4)[agree] == np.asarray(b8)[agree]).mean() > 0.995
+
+
+def test_bvh4_hbm_bf16_rows_close_to_f32():
+    # bf16 triangle rows quantize the geometry (~0.4% rel): hits must stay
+    # close (loose tolerance), misses/hits mostly agree.
+    from cg_raytracer_tpu.ops.pallas_bvh4 import (build_hbm_bvh4,
+                                                  intersect_pallas_bvh4_hbm)
+
+    scene = cgrt.load_scene("monkey")
+    _, h32 = build_hbm_bvh4(scene, leaf_rows=2)
+    _, h16 = build_hbm_bvh4(scene, leaf_rows=2, tri_dtype=jnp.bfloat16)
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    a = intersect_pallas_bvh4_hbm(scene, h32, o, d, interpret=True)
+    b = intersect_pallas_bvh4_hbm(scene, h16, o, d, interpret=True)
+    hit_a = np.asarray(a.prim_id) >= 0
+    hit_b = np.asarray(b.prim_id) >= 0
+    assert (hit_a == hit_b).mean() > 0.99  # silhouette pixels may flip
+    both = hit_a & hit_b
+    ta, tb = np.asarray(a.t)[both], np.asarray(b.t)[both]
+    assert np.median(np.abs(ta - tb) / np.maximum(ta, 1e-6)) < 0.01
