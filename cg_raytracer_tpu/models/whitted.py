@@ -577,13 +577,20 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         # match the one-phase path EXACTLY (VERDICT r3 item 3 — the two-phase
         # structure is no longer material/light-only).  Masks stay the
         # recorded primal ones (discrete, identical to a recompute).
+        # 'recorded' keeps the r3 contract (phase 2 consumes the stop-gradded
+        # phase-1 rays; drops the reflected-origin vertex term — selected by
+        # optimize()/run_bench only when that term is structurally zero).
+        exact_rays = cfg.resolve_two_phase_rays() == "exact"
         color = jnp.zeros((n, 3), jnp.float32)
         throughput = jnp.ones((n, 3), jnp.float32)
         o_l, d_l = origins, dirs
-        for level, (_, _, hit_l, bits_l, active_l) in enumerate(records):
+        for level, (o_rec, d_rec, hit_l, bits_l, active_l) in enumerate(records):
+            if not exact_rays and level > 0:
+                o_l, d_l = o_rec, d_rec
             if use_shade_kernel:
                 direct, valid, ks, normal, position = shade_fused_pallas(
-                    scene, o_l, d_l, hit_l, bits_l)
+                    scene, o_l, d_l, hit_l, bits_l,
+                    gather=cfg.resolve_shade_gather())
             else:
                 lkey = jax.random.fold_in(key, level)
                 direct, valid, ks, normal, position = shade_level(
@@ -591,8 +598,8 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
             lit = active_l & valid
             color = color + throughput * direct * lit[..., None].astype(jnp.float32)
             throughput = throughput * ks
-            if level + 1 >= len(records):
-                break
+            if level + 1 >= len(records) or not exact_rays:
+                continue
             active_next = records[level + 1][4]
             refl_dir = safe_normalize(reflect(d_l, normal))
             o_l = position + REFLECT_EPS * refl_dir

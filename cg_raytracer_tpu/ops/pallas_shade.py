@@ -456,13 +456,25 @@ def _pack_int(x, n, g, rows, fill):
 def _pack_fields(fields_rows, n, g):
     """[N, 28] per-ray field rows -> [G, 28, rows, 128] kernel blocks.
 
-    The transpose is a real relayout of the field volume (112 B/ray); it is
-    the price of keeping the gather in XLA — measured against leaving the
-    whole chain in XLA, not against a free alternative (Mosaic cannot gather
-    per-lane)."""
+    The transpose is a real relayout of the field volume (112 B/ray) each
+    way; the 'direct' gather mode below avoids it entirely."""
     fr = jnp.pad(fields_rows, ((0, g * RAY_ROWS * RAY_COLS - n), (0, 0)))
     fr = fr.reshape(g, RAY_ROWS, RAY_COLS, _NFIELD)
     return jnp.transpose(fr, (0, 3, 1, 2))
+
+
+def _gather_fields_tiled(table, prim_t):
+    """ONE differentiable gather from [T, 28] straight into the kernel's
+    [G, 28, rows, 128] block layout (offset_dims=(1,) puts the field axis at
+    output dim 1) — no transpose on the field volume, and XLA's gather VJP
+    is the matching direct-layout scatter-add.  Padding/miss lanes carry
+    prim -1 -> clipped to row 0 (select-gather fallthrough semantics; their
+    cotangents are gated to zero in-kernel)."""
+    idx = jnp.maximum(prim_t, 0).astype(jnp.int32)[..., None]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(table, idx, dn,
+                          slice_sizes=(1, table.shape[1]))
 
 
 def _unpack_ray_cts(d_rays_t, n):
@@ -552,41 +564,39 @@ _shade_core.defvjp(_shade_core_fwd, _shade_core_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Pregathered custom VJP (any T): the [N, 28] field rows are a differentiable
-# XLA gather outside; this VJP returns their per-ray cotangents and XLA's
-# gather transpose scatter-adds them into the table (hence into vertices,
-# normals, and materials).
+# Pregathered custom VJP (any T): the per-ray field blocks [G, 28, rows, 128]
+# are a differentiable XLA gather outside; this VJP returns their cotangents
+# in the SAME layout and XLA's gather VJP scatter-adds them into the table
+# (hence into vertices, normals, and materials).
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _shade_core_pre(fields_rows, lights, o, d, prim, bits, num_tris,
+def _shade_core_pre(fields_t, lights, o, d, prim, bits, num_tris,
                     interpret):
-    return _shade_core_pre_fwd(fields_rows, lights, o, d, prim, bits,
+    return _shade_core_pre_fwd(fields_t, lights, o, d, prim, bits,
                                num_tris, interpret)[0]
 
 
-def _shade_core_pre_fwd(fields_rows, lights, o, d, prim, bits, num_tris,
+def _shade_core_pre_fwd(fields_t, lights, o, d, prim, bits, num_tris,
                         interpret):
     n = o.shape[0]
     rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
     prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
     bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
-    fields_t = _pack_fields(fields_rows, n, g)
     tiles = _shade_fwd_call_pre(rays6, prim_t, bits_t, fields_t, lights,
                                 num_tris=num_tris, interpret=interpret)
     flat = lambda a: a.reshape(-1)[:n]
     outs = tuple(flat(t) for t in tiles)
-    return outs, (fields_rows, lights, o, d, prim, bits)
+    return outs, (fields_t, lights, o, d, prim, bits)
 
 
 def _shade_core_pre_bwd(num_tris, interpret, res, cts):
-    fields_rows, lights, o, d, prim, bits = res
+    fields_t, lights, o, d, prim, bits = res
     n = o.shape[0]
     rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
     prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
     bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
-    fields_t = _pack_fields(fields_rows, n, g)
 
     def tile_of(ct):
         ctp = jnp.pad(ct.astype(jnp.float32), (0, g * RAY_ROWS * RAY_COLS - n))
@@ -597,25 +607,25 @@ def _shade_core_pre_bwd(num_tris, interpret, res, cts):
         rays6, prim_t, bits_t, fields_t, lights, ct_tiles,
         num_tris=num_tris, interpret=interpret)
 
-    # Back to per-ray rows for XLA's gather-VJP scatter-add (the inverse of
-    # _pack_fields' relayout).
-    d_rows = jnp.transpose(d_fields_t, (0, 2, 3, 1)).reshape(-1, _NFIELD)[:n]
     d_lights = _unpack_light_cts(d_lights_t, lights.shape[0])
     d_o, d_d = _unpack_ray_cts(d_rays_t, n)
-    return (d_rows, d_lights, d_o, d_d, _f0(prim), _f0(bits))
+    return (d_fields_t, d_lights, d_o, d_d, _f0(prim), _f0(bits))
 
 
 _shade_core_pre.defvjp(_shade_core_pre_fwd, _shade_core_pre_bwd)
 
 
 def shade_fused_pallas(scene: Scene, origins, dirs, hit, bits,
-                       interpret: bool | None = None) -> Surface:
+                       interpret: bool | None = None,
+                       gather: str = "direct") -> Surface:
     """Drop-in replacement for reconstruct_hit + direct_point_lights on
     eligible scenes, returning (direct [N,3], valid, ks, normal, position).
     Differentiable w.r.t. vertices, normals, materials, point lights, AND the
     ray origins/dirs (the two-phase reflected-ray chain) through the custom
-    VJP.  Gather mode: in-kernel masked select for tiny tables, XLA
-    pregathered rows otherwise (module docstring)."""
+    VJP.  Gather mode for tables past SHADE_SELECT_MAX_TRIS: 'direct' = one
+    lax.gather straight into the kernel's tile layout (VJP = direct-layout
+    scatter-add, no relayout); 'rows' = [N,28] row gather + explicit
+    transpose each way (kept for the A/B — scripts/tpu_r4c.py)."""
     if interpret is None:
         interpret = _default_interpret()
     prim = jax.lax.stop_gradient(hit.prim_id)
@@ -633,8 +643,15 @@ def shade_fused_pallas(scene: Scene, origins, dirs, hit, bits,
         # miss lanes fall through to row 0 like the select variant.
         table = jnp.concatenate([_tri_table(scene), _aux_table(scene)],
                                 axis=1)  # [T, 28]
-        rows = table[jnp.clip(prim, 0, num_tris - 1)]
-        outs = _shade_core_pre(rows, lights, origins, dirs, prim, bits,
+        n = origins.shape[0]
+        g = -(-n // (RAY_ROWS * RAY_COLS))
+        prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
+        if gather == "direct":
+            fields_t = _gather_fields_tiled(table, prim_t)
+        else:
+            rows = table[jnp.clip(prim, 0, num_tris - 1)]
+            fields_t = _pack_fields(rows, n, g)
+        outs = _shade_core_pre(fields_t, lights, origins, dirs, prim, bits,
                                num_tris, interpret)
     (dr, dg, db, ksx, ksy, ksz, nx, ny, nz, px, py, pz) = outs
     direct = jnp.stack([dr, dg, db], axis=-1)

@@ -130,6 +130,11 @@ def optimize(
         # params).  Measured faster on TPU (scripts/tpu_r3b.py headline;
         # r4 vertex-contract rows in BENCH_NOTES).
         cfg = dataclasses.replace(cfg, grad_two_phase="on")
+    if cfg.two_phase_rays == "auto" and "vertices" not in params:
+        # No vertex params: the reflected-origin vertex term is structurally
+        # zero, so the recorded-rays fast path is exact AND cheaper
+        # (~1 ms/frame at the 1024^2 headline, scripts/r4_results.jsonl).
+        cfg = dataclasses.replace(cfg, two_phase_rays="recorded")
     # The K-step loop donates params/opt_state buffers; param trees built by
     # material_params/vertex_params ALIAS the caller's scene arrays, so donate
     # copies — otherwise the first dispatch deletes the scene's own buffers.

@@ -88,6 +88,10 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
             # reflected-ray chain differentiably) and measured faster on TPU
             # (scripts/tpu_r3b.py headline).
             cfg = dataclasses.replace(cfg, grad_two_phase="on")
+        if cfg.two_phase_rays == "auto" and not include_vertex_params:
+            # Material-only differentiation: recorded-rays fast path is
+            # exact (the dropped vertex term is structurally zero).
+            cfg = dataclasses.replace(cfg, two_phase_rays="recorded")
 
         def loss_fn(params_, scn_, cam_, key_):
             scn_p = apply_material_params(scn_, params_)

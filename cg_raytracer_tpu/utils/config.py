@@ -308,6 +308,24 @@ class RenderConfig:
         # shows the restructure beating the one-phase graph.
         return False
 
+    # Phase-2 ray source for the two-phase structure.  'exact': bounce rays
+    # are recomputed differentiably from each level's surface, so the
+    # reflected-ray-origin vertex-grad term flows (full-gradient contract).
+    # 'recorded': phase 2 consumes the stop-gradded phase-1 rays — drops that
+    # one vertex term (material/light grads stay exact), saving the
+    # reflect-chain recompute + its VJP (~1 ms at the 1024^2 headline,
+    # scripts/r4_results.jsonl headline rows).  'auto' = 'exact';
+    # optimize()/run_bench select 'recorded' when no vertex params are being
+    # differentiated (the dropped term is then zero anyway).
+    two_phase_rays: str = "auto"
+
+    def resolve_two_phase_rays(self) -> str:
+        if self.two_phase_rays not in ("auto", "exact", "recorded"):
+            raise ValueError(
+                f"two_phase_rays must be 'auto' | 'exact' | 'recorded', got "
+                f"{self.two_phase_rays!r}")
+        return "exact" if self.two_phase_rays == "auto" else self.two_phase_rays
+
     # Fused differentiable shade kernel (ops/pallas_shade.py): reconstruct +
     # point-light Phong in one Pallas dispatch each way (custom VJP).  Only
     # valid inside the two-phase gradient structure (its inputs are the
@@ -332,6 +350,19 @@ class RenderConfig:
         # round-3 headline table — the fused kernel took 11.5 -> 7.69 ms
         # with the record-trace megakernel).
         return platform == "tpu"
+
+    # Attribute-gather mode for the pregathered shade kernel (> 64 tris):
+    # 'direct' = one lax.gather straight into the kernel tile layout (VJP =
+    # direct scatter-add); 'rows' = [N,28] row gather + explicit transpose
+    # each way.  'auto' = 'direct' (A/B: scripts/tpu_r4c.py).
+    shade_gather: str = "auto"
+
+    def resolve_shade_gather(self) -> str:
+        if self.shade_gather not in ("auto", "direct", "rows"):
+            raise ValueError(
+                f"shade_gather must be 'auto' | 'direct' | 'rows', got "
+                f"{self.shade_gather!r}")
+        return "direct" if self.shade_gather == "auto" else self.shade_gather
 
     # Leaf width for the soft-shadow sampler's OWN tree (0 = auto).  The cone
     # sampler's leaf MT sweeps run on [samples, 128] tiles — triangle tests

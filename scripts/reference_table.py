@@ -9,6 +9,7 @@ reported triangle counts (their data files were stripped from / never committed
 to the reference repo).  Donut (320K tris) exercises the HBM-streaming Pallas
 BVH kernel; the others fit the all-VMEM kernel.
 """
+import argparse
 import json
 import time
 
@@ -25,6 +26,11 @@ REFERENCE_MS = {
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-bwd", action="store_true",
+                    help="skip the fwd+bwd column (faster)")
+    args = ap.parse_args()
+
     from cg_raytracer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -48,7 +54,8 @@ def main():
             img = cgrt.render(scene, cam, cfg)
             jax.block_until_ready(img)
             ts.append(time.perf_counter() - t0)
-        ms = min(ts) * 1e3
+        # Median, not min (async dispatch outliers; utils/bench.py::time_fn).
+        ms = sorted(ts)[len(ts) // 2] * 1e3
         rec = {"scene": name, "tris": scene.num_triangles, "ms": round(ms, 2),
                "reference_ms": ref_ms}
         if ref_ms:
@@ -64,6 +71,18 @@ def main():
         rec["ms_steady"] = round(steady["seconds_per_frame"] * 1e3, 2)
         if ref_ms:
             rec["speedup_steady"] = round(ref_ms / rec["ms_steady"], 2)
+
+        # fwd+bwd steady: the headline metric is a backward pass, so every
+        # Table-2 scene gets a gradient row (VERDICT r3 item 5).  Spherical
+        # soft shadows differentiate through the XLA sample scan (the
+        # two-phase structure excludes stochastic sampling) and cost
+        # accordingly.
+        if not args.no_bwd:
+            kw = (dict(iters=2, frames_per_call=2)
+                  if "spherical" in name else dict(iters=3, frames_per_call=4))
+            bwd = run_bench(scene=name, width=800, height=800,
+                            include_bwd=True, **kw)
+            rec["ms_fwd_bwd"] = round(bwd["seconds_per_frame"] * 1e3, 2)
         print(json.dumps(rec), flush=True)
 
 

@@ -148,6 +148,16 @@ def test_end_to_end_two_phase_kernel_render_and_grads(cornell):
     for k in params:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+    # Recorded-rays fast path: identical image, identical material/light
+    # grads (the dropped reflected-origin term only touches vertex grads).
+    cfg_rec = dataclasses.replace(cfg_k, two_phase_rays="recorded")
+    (l2, img2), g2 = jax.value_and_grad(
+        lambda p: loss(p, cfg_rec), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img2),
+                               rtol=1e-5, atol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g2[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
 
 
 @pytest.mark.parametrize("depth,quirks", [(3, False), (2, True)])
@@ -179,10 +189,11 @@ def monkey_records():
     return scene, o, d, hit, bits
 
 
-def test_pregathered_forward_matches_xla_chain(monkey_records):
+@pytest.mark.parametrize("gather", ["direct", "rows"])
+def test_pregathered_forward_matches_xla_chain(monkey_records, gather):
     scene, o, d, hit, bits = monkey_records
     direct_k, valid_k, ks_k, n_k, p_k = shade_fused_pallas(
-        scene, o, d, hit, bits, interpret=True)
+        scene, o, d, hit, bits, interpret=True, gather=gather)
     surf = reconstruct_hit(scene, o, d, hit)
     direct_x = direct_point_lights(scene, d, surf, None, shadow_bits=bits)
     assert np.asarray(valid_k).any()  # the view actually hits the mesh
