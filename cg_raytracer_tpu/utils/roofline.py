@@ -169,6 +169,21 @@ def soft_shadow_flops_per_ray(num_tris: int, num_samples: int) -> float:
     return float(num_samples * per_sample)
 
 
+def soft_shadow_bvh_flops_per_ray(shadow_internal_visits: float,
+                                  shadow_leaf_rows: float,
+                                  num_samples: int) -> float:
+    """BVH-scene analogue of ``soft_shadow_flops_per_ray``: each sample's
+    any-hit resolves by traversal (ops/pallas_bvh4.py cone sampler), so the
+    per-sample work is parameterized by *measured* shadow-ray visit stats —
+    the per-ray ideal, divergence-free by construction like the rest of the
+    model (round-3 task 7: the monkey_spherical row's ceiling context)."""
+    per_sample = (25 + 40
+                  + shadow_internal_visits * INTERNAL_VISIT_FLOPS
+                  + shadow_leaf_rows * TRIS_PER_ROW
+                  * (MT_FLOPS + ANYHIT_UPDATE))
+    return float(num_samples * per_sample)
+
+
 def bytes_per_ray(num_lights: int, bounces: int, include_bwd: bool = False) -> float:
     """HBM stream lower bound per ray (triangle/node tables live in VMEM and
     amortize to ~0 per ray; the dominant streams are the per-ray buffers)."""

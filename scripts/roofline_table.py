@@ -40,6 +40,9 @@ MEASURED_MS = {
     "dragon": 34.2,
     "teacup": 61.2,
     "donut": 82.0,
+    # r4 cone-sampler auto at the final autos (scripts/r4_results.jsonl
+    # cone_ab: 4-wide cone tree 615.6 ms vs binary 779.2).
+    "monkey_spherical_light": 615.6,
 }
 
 
@@ -85,6 +88,12 @@ def scene_work(name: str):
             num_lights=n_pl, bounces=bounces,
             shadow_internal_visits=sh["mean_internal_visits"],
             shadow_leaf_rows=sh["mean_leaf_rows"])
+        if n_sl:
+            # Spherical light over a BVH scene: 200 per-sample any-hit
+            # traversals, parameterized by the measured shadow visit stats.
+            fl += bounces * n_sl * rl.soft_shadow_bvh_flops_per_ray(
+                sh["mean_internal_visits"], sh["mean_leaf_rows"],
+                cfg.soft_shadow_samples)
 
     byts = rl.bytes_per_ray(n_pl + n_sl, bounces)
     ideal, bound = rl.roofline_seconds(rays * fl, rays * byts)
@@ -104,7 +113,7 @@ def scene_work(name: str):
 
 def main():
     scenes = ["cornell_box", "cornell_box_spherical_light", "monkey",
-              "dragon", "teacup", "donut"]
+              "dragon", "teacup", "donut", "monkey_spherical_light"]
     for name in scenes:
         print(json.dumps(scene_work(name)))
 
