@@ -872,13 +872,15 @@ def build_hbm_bvh4(scene: Scene, leaf_rows: int | None = None,
     per-leaf DMA volume accordingly."""
     from .pallas_bvh import HBM_NODE_BYTES_BUDGET
 
-    candidates = ((leaf_rows,) if leaf_rows is not None
-                  else (1, 2, 4, 8, 16, 32))
+    explicit = leaf_rows is not None
+    candidates = ((leaf_rows,) if explicit else (1, 2, 4, 8, 16, 32))
     last = None
     for rows in candidates:
         bvh = build_bvh(scene, max_leaf=rows * TRIS_PER_ROW, builder=builder)
         packed4 = collapse_bvhw(pack_bvh_rows(bvh), width=width)
         last = (bvh, packed4, rows)
+        if explicit:  # caller owns the VMEM trade (A/B probes)
+            break
         if packed4.nodes4.shape[0] * 512 <= HBM_NODE_BYTES_BUDGET:
             break
     else:

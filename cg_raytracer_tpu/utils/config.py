@@ -140,9 +140,12 @@ class RenderConfig:
                 f"{self.bvh_wide_hbm!r}")
         if self.bvh_wide_hbm != "auto":
             return self.bvh_wide_hbm
-        # 'auto' = '2' (the round-3 binary kernel) until the round-4 donut
-        # A/B (scripts/tpu_r4b.py) shows the 4-wide port winning.
-        return "2"
+        # Measured on v5e (scripts/tpu_r4b.py / tpu_r4d.py donut stages,
+        # r4_results.jsonl): the 4-wide DMA-pipelined kernel wins — donut
+        # 800^2 fwd 79.9 (binary/rows32) -> 66.9 ms (wide/il2/rows32), images
+        # bitwise identical; narrower collapsed-table leaves (2 rows vs 4)
+        # halve the per-leaf DMA volume.
+        return "4"
 
     # Multi-stack interleaving for the 4-wide VMEM kernel: 'N' splits each ray
     # tile into N independent row bands traversing in ONE fused loop (one pop
@@ -222,11 +225,11 @@ class RenderConfig:
                     f"{self.bvh_tile_rows}")
             return self.bvh_tile_rows
         if hbm:
-            # Measured on v5e (r3_results.jsonl donut_rows): the
-            # HBM-streaming kernel prefers 32-row tiles — donut 109.6 (64)
-            # -> 82.0 ms (32); 128 rows: 188.6.  Smaller tile-unions mean
-            # fewer leaf-row DMAs, and the DMA waits already hide the extra
-            # per-pop scalar overhead.
+            # Measured on v5e (r3_results.jsonl donut_rows; confirmed for
+            # the 4-wide variant by r4_results.jsonl donut/donut2 sweeps:
+            # rows32 66.9 < rows16 67.5-70.6 < rows8 69.3 < rows48 74.0):
+            # 32-row tiles.  Smaller tile-unions mean fewer leaf-row DMAs,
+            # and the DMA waits already hide the extra per-pop overhead.
             return 32
         if wide:
             # Measured on v5e for the interleaved 4-wide kernel
