@@ -64,7 +64,14 @@ from .pallas_kernels import (RAY_COLS, RAY_ROWS, SHADOW_EPS,
 
 SHADE_SELECT_MAX_TRIS = 64  # in-kernel masked-select gather above this is O(T)
 SHADE_MAX_LIGHTS = 16  # per-light cotangents pack into lanes li*8+c of one row
+SHADE_MAX_MATS = 16  # per-material cotangents pack the same way (row 1)
 _NFIELD = 28  # 9 triangle-vertex lanes + 19 aux lanes (normals/face/material)
+# Pregathered payload: only what CANNOT be recomputed or selected in-kernel --
+# v0 v1 v2 (9), n0 n1 n2 (9), material id (1).  The face normal is recomputed
+# from the vertices and kd/ks/shininess selected from a [M, 7] VMEM table, so
+# the big-T gather/scatter (measured at ~5 + 3.4 ms per 640K rays for 28
+# fields, r4_results.jsonl gather_cost2) moves 19/28 of the bytes.
+_NFIELD_PRE = 19
 
 
 def supports_shade_kernel(scene: Scene) -> bool:
@@ -73,6 +80,11 @@ def supports_shade_kernel(scene: Scene) -> bool:
         and scene.spheres.radius.shape[0] == 0
         and scene.spherical_lights.position.shape[0] == 0
         and 0 < scene.point_lights.position.shape[0] <= SHADE_MAX_LIGHTS
+        # The pregathered path selects materials in-kernel from a [M, 7]
+        # table with lane-packed cotangents; tiny-T scenes bake materials
+        # into the select-gather aux table instead and have no cap.
+        and (scene.num_triangles <= SHADE_SELECT_MAX_TRIS
+             or scene.materials.kd.shape[0] <= SHADE_MAX_MATS)
     )
 
 
@@ -176,6 +188,44 @@ def _light_scalars(lights_ref, num_lights):
     return out
 
 
+def _mat_scalars(mats_ref, num_mats):
+    out = []
+    for mi in range(num_mats):
+        mrow = mats_ref[mi]
+        out.append(tuple(mrow[j] for j in range(7)))  # kd(3) ks(3) shininess
+    return out
+
+
+def _shade_math19(fields19, mat_scalars, light_scalars, o3, d3, bits, hit_f):
+    # Pregathered-payload core: reconstruct the 28-field view from the 19
+    # gathered fields (face normal recomputed from the vertices -- its VJP
+    # flows straight into the vertex fields) + an in-kernel material select
+    # over the traced [M, 7] scalars (mid is discrete; where() conditions
+    # carry no gradient), then defer to _shade_math.
+    (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z,
+     n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z, mid) = fields19
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    fx = e1y * e2z - e1z * e2y
+    fy = e1z * e2x - e1x * e2z
+    fz = e1x * e2y - e1y * e2x
+    finv = 1.0 / jnp.maximum(jnp.sqrt(fx * fx + fy * fy + fz * fz), 1e-20)
+    fx, fy, fz = fx * finv, fy * finv, fz * finv
+
+    m0 = mat_scalars[0]
+    mats7 = [jnp.zeros(mid.shape, jnp.float32) + m0[j] for j in range(7)]
+    for mi in range(1, len(mat_scalars)):
+        sel = mid == mi
+        for j in range(7):
+            mats7[j] = jnp.where(sel, mat_scalars[mi][j], mats7[j])
+    kdx, kdy, kdz, ksx, ksy, ksz, shin = mats7
+
+    fields28 = (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z,
+                n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+                fx, fy, fz, kdx, kdy, kdz, ksx, ksy, ksz, shin)
+    return _shade_math(fields28, light_scalars, o3, d3, bits, hit_f)
+
+
 def _shade_fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       prim_ref, bits_ref, tris_ref, aux_ref, lights_ref,
                       *out_refs, num_tris, num_lights):
@@ -203,18 +253,21 @@ def _shade_fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 def _shade_fwd_kernel_pre(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           prim_ref, bits_ref, fields_ref, lights_ref,
-                          *out_refs, num_tris, num_lights):
-    """Pregathered variant: per-ray field rows arrive as a [1, 28, rows, 128]
-    block (XLA's table[prim] gather, tiled by _pack_fields)."""
+                          mats_ref, *out_refs, num_tris, num_lights,
+                          num_mats):
+    """Pregathered variant: per-ray field rows arrive as a
+    [1, 19, rows, 128] block (XLA's table[prim] gather); materials select
+    in-kernel from the [M, 7] table."""
     slot = prim_ref[0]
 
     def live(_):
         hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
-        fields = [fields_ref[0, j] for j in range(_NFIELD)]
-        return _shade_math(fields, _light_scalars(lights_ref, num_lights),
-                           (ox_ref[0], oy_ref[0], oz_ref[0]),
-                           (dx_ref[0], dy_ref[0], dz_ref[0]),
-                           bits_ref[0], hit_f)
+        fields = [fields_ref[0, j] for j in range(_NFIELD_PRE)]
+        return _shade_math19(fields, _mat_scalars(mats_ref, num_mats),
+                             _light_scalars(lights_ref, num_lights),
+                             (ox_ref[0], oy_ref[0], oz_ref[0]),
+                             (dx_ref[0], dy_ref[0], dz_ref[0]),
+                             bits_ref[0], hit_f)
 
     def dead(_):
         z = jnp.zeros(slot.shape, jnp.float32)
@@ -254,16 +307,47 @@ def _shade_bwd_core(fields, o3, d3, bits, slot, lights_ref, ct_refs,
     return tuple(d_fields), acc, tuple(d_o3) + tuple(d_d3)
 
 
-def _bwd_dead(slot):
+def _shade_bwd_core_pre(fields19, o3, d3, bits, slot, lights_ref, mats_ref,
+                        ct_refs, num_tris, num_lights, num_mats):
+    """Pregathered backward: jax.vjp over _shade_math19 w.r.t.
+    (fields19, materials, lights, o, d).  Per-material cotangents pack into
+    row 1 of the same (8, COLS) accumulator the lights use row 0 of."""
+    hit_f = ((slot >= 0) & (slot < num_tris)).astype(jnp.float32)
+    lscal = _light_scalars(lights_ref, num_lights)
+    mscal = _mat_scalars(mats_ref, num_mats)
+
+    def f(fields_, mscal_, lscal_, o3_, d3_):
+        return _shade_math19(fields_, mscal_, lscal_, o3_, d3_, bits, hit_f)
+
+    _, vjp_fn = jax.vjp(f, fields19, mscal, lscal, o3, d3)
+    cts = tuple(r[0] for r in ct_refs)
+    d_fields, d_mats, d_lights, d_o3, d_d3 = vjp_fn(cts)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_COLS), 0)
+    acc = jnp.zeros((8, RAY_COLS), jnp.float32)
+    for li in range(num_lights):
+        for c in range(6):
+            acc = acc + jnp.where((row == 0) & (lane == li * 8 + c),
+                                  d_lights[li][c], 0.0)
+    for mi in range(num_mats):
+        for c in range(7):
+            acc = acc + jnp.where((row == 1) & (lane == mi * 8 + c),
+                                  d_mats[mi][c], 0.0)
+    return tuple(d_fields), acc, tuple(d_o3) + tuple(d_d3)
+
+
+def _bwd_dead(slot, nfield=_NFIELD):
     z = lambda: jnp.zeros(slot.shape, jnp.float32)
-    return (tuple(z() for _ in range(_NFIELD))
+    return (tuple(z() for _ in range(nfield))
             + (jnp.zeros((8, RAY_COLS), jnp.float32),)
             + tuple(z() for _ in range(6)))
 
 
-def _store_bwd_outs(outs, dfields_ref, dlights_ref, drays_ref):
+def _store_bwd_outs(outs, dfields_ref, dlights_ref, drays_ref,
+                    nfield=_NFIELD):
     d_fields, acc, d_rays = outs
-    for j in range(_NFIELD):
+    for j in range(nfield):
         dfields_ref[0, j] = d_fields[j]
     dlights_ref[0] = acc
     for j in range(6):
@@ -297,26 +381,29 @@ def _shade_bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 def _shade_bwd_kernel_pre(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           prim_ref, bits_ref, fields_ref, lights_ref,
-                          ct_refs_and_outs, num_tris, num_lights):
-    """Pregathered backward: identical to _shade_bwd_kernel except fields come
-    from the per-ray [1, 28, rows, 128] block; d_fields goes back in the same
-    per-ray layout (XLA's gather VJP scatter-adds it into the table)."""
+                          mats_ref, ct_refs_and_outs, num_tris, num_lights,
+                          num_mats):
+    """Pregathered backward: fields come from the per-ray [1, 19, rows, 128]
+    block; d_fields goes back in the same per-ray layout (XLA's gather VJP
+    scatter-adds it into the table); material cotangents lane-pack into
+    row 1 of the lights row."""
     ct_refs = ct_refs_and_outs[:12]
     dfields_ref, dlights_ref, drays_ref = ct_refs_and_outs[12:15]
     slot = prim_ref[0]
 
     def live(_):
-        fields = [fields_ref[0, j] for j in range(_NFIELD)]
-        df, acc, dr = _shade_bwd_core(
+        fields = [fields_ref[0, j] for j in range(_NFIELD_PRE)]
+        df, acc, dr = _shade_bwd_core_pre(
             fields, (ox_ref[0], oy_ref[0], oz_ref[0]),
             (dx_ref[0], dy_ref[0], dz_ref[0]), bits_ref[0], slot,
-            lights_ref, ct_refs, num_tris, num_lights)
+            lights_ref, mats_ref, ct_refs, num_tris, num_lights, num_mats)
         return df + (acc,) + dr
 
     outs = jax.lax.cond(jnp.max(slot) >= 0, live,
-                        lambda _: _bwd_dead(slot), 0)
-    _store_bwd_outs((outs[:_NFIELD], outs[_NFIELD], outs[_NFIELD + 1:]),
-                    dfields_ref, dlights_ref, drays_ref)
+                        lambda _: _bwd_dead(slot, _NFIELD_PRE), 0)
+    _store_bwd_outs(
+        (outs[:_NFIELD_PRE], outs[_NFIELD_PRE], outs[_NFIELD_PRE + 1:]),
+        dfields_ref, dlights_ref, drays_ref, nfield=_NFIELD_PRE)
 
 
 def _ray_spec(rows):
@@ -324,8 +411,8 @@ def _ray_spec(rows):
                         memory_space=pltpu.VMEM)
 
 
-def _fields_spec(rows):
-    return pl.BlockSpec((1, _NFIELD, rows, RAY_COLS), lambda i: (i, 0, 0, 0),
+def _fields_spec(rows, nfield=_NFIELD):
+    return pl.BlockSpec((1, nfield, rows, RAY_COLS), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -359,24 +446,26 @@ def _shade_fwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "interpret"))
 def _shade_fwd_call_pre(rays6, prim_tiles, bits_tiles, fields_tiles, lights,
-                        num_tris, interpret=False):
+                        mats, num_tris, interpret=False):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_shade_fwd_kernel_pre,
                                num_tris=num_tris,
-                               num_lights=lights.shape[0])
+                               num_lights=lights.shape[0],
+                               num_mats=mats.shape[0])
     out_shape = [jax.ShapeDtypeStruct((g, rows, RAY_COLS), jnp.float32)
                  for _ in range(12)]
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[_ray_spec(rows) for _ in range(8)] + [
-            _fields_spec(rows),
+            _fields_spec(rows, _NFIELD_PRE),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lights [L, 6]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # materials [M, 7]
         ],
         out_specs=[_ray_spec(rows) for _ in range(12)],
         out_shape=out_shape,
         interpret=interpret,
-    )(*rays6, prim_tiles, bits_tiles, fields_tiles, lights)
+    )(*rays6, prim_tiles, bits_tiles, fields_tiles, lights, mats)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -415,17 +504,19 @@ def _shade_bwd_call(rays6, prim_tiles, bits_tiles, tri_table, aux, lights,
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "interpret"))
 def _shade_bwd_call_pre(rays6, prim_tiles, bits_tiles, fields_tiles, lights,
-                        ct_tiles, num_tris, interpret=False):
+                        mats, ct_tiles, num_tris, interpret=False):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     num_lights = lights.shape[0]
+    num_mats = mats.shape[0]
 
     def kernel(*refs):
-        _shade_bwd_kernel_pre(*refs[:10], refs[10:],
+        _shade_bwd_kernel_pre(*refs[:11], refs[11:],
                               num_tris=num_tris,
-                              num_lights=num_lights)
+                              num_lights=num_lights,
+                              num_mats=num_mats)
 
     out_shape = [
-        jax.ShapeDtypeStruct((g, _NFIELD, rows, RAY_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((g, _NFIELD_PRE, rows, RAY_COLS), jnp.float32),
         jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.float32),
         jax.ShapeDtypeStruct((g, 6, rows, RAY_COLS), jnp.float32),
     ]
@@ -433,18 +524,19 @@ def _shade_bwd_call_pre(rays6, prim_tiles, bits_tiles, fields_tiles, lights,
         kernel,
         grid=(g,),
         in_specs=[_ray_spec(rows) for _ in range(8)] + [
-            _fields_spec(rows),
+            _fields_spec(rows, _NFIELD_PRE),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [_ray_spec(rows) for _ in range(12)],
         out_specs=[
-            _fields_spec(rows),
+            _fields_spec(rows, _NFIELD_PRE),
             pl.BlockSpec((1, 8, RAY_COLS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             _drays_spec(rows),
         ],
         out_shape=out_shape,
         interpret=interpret,
-    )(*rays6, prim_tiles, bits_tiles, fields_tiles, lights, *ct_tiles)
+    )(*rays6, prim_tiles, bits_tiles, fields_tiles, lights, mats, *ct_tiles)
 
 
 def _pack_int(x, n, g, rows, fill):
@@ -458,8 +550,9 @@ def _pack_fields(fields_rows, n, g):
 
     The transpose is a real relayout of the field volume (112 B/ray) each
     way; the 'direct' gather mode below avoids it entirely."""
+    nf = fields_rows.shape[1]
     fr = jnp.pad(fields_rows, ((0, g * RAY_ROWS * RAY_COLS - n), (0, 0)))
-    fr = fr.reshape(g, RAY_ROWS, RAY_COLS, _NFIELD)
+    fr = fr.reshape(g, RAY_ROWS, RAY_COLS, nf)
     return jnp.transpose(fr, (0, 3, 1, 2))
 
 
@@ -487,6 +580,11 @@ def _unpack_ray_cts(d_rays_t, n):
 def _unpack_light_cts(d_lights_t, num_lights):
     d_lights_row = jnp.sum(d_lights_t[:, 0, :], axis=0)  # [128]
     return d_lights_row[:num_lights * 8].reshape(num_lights, 8)[:, :6]
+
+
+def _unpack_mat_cts(d_lights_t, num_mats):
+    d_row = jnp.sum(d_lights_t[:, 1, :], axis=0)  # [128]
+    return d_row[:num_mats * 8].reshape(num_mats, 8)[:, :7]
 
 
 def _f0(x):
@@ -571,28 +669,28 @@ _shade_core.defvjp(_shade_core_fwd, _shade_core_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _shade_core_pre(fields_t, lights, o, d, prim, bits, num_tris,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _shade_core_pre(fields_t, lights, mats, o, d, prim, bits, num_tris,
                     interpret):
-    return _shade_core_pre_fwd(fields_t, lights, o, d, prim, bits,
+    return _shade_core_pre_fwd(fields_t, lights, mats, o, d, prim, bits,
                                num_tris, interpret)[0]
 
 
-def _shade_core_pre_fwd(fields_t, lights, o, d, prim, bits, num_tris,
+def _shade_core_pre_fwd(fields_t, lights, mats, o, d, prim, bits, num_tris,
                         interpret):
     n = o.shape[0]
     rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
     prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
     bits_t = _pack_int(bits, n, g, RAY_ROWS, 0)
     tiles = _shade_fwd_call_pre(rays6, prim_t, bits_t, fields_t, lights,
-                                num_tris=num_tris, interpret=interpret)
+                                mats, num_tris=num_tris, interpret=interpret)
     flat = lambda a: a.reshape(-1)[:n]
     outs = tuple(flat(t) for t in tiles)
-    return outs, (fields_t, lights, o, d, prim, bits)
+    return outs, (fields_t, lights, mats, o, d, prim, bits)
 
 
 def _shade_core_pre_bwd(num_tris, interpret, res, cts):
-    fields_t, lights, o, d, prim, bits = res
+    fields_t, lights, mats, o, d, prim, bits = res
     n = o.shape[0]
     rays6, n_, g = _pack_rays(o, d, rows=RAY_ROWS)
     prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
@@ -604,12 +702,13 @@ def _shade_core_pre_bwd(num_tris, interpret, res, cts):
 
     ct_tiles = [tile_of(c) for c in cts]
     d_fields_t, d_lights_t, d_rays_t = _shade_bwd_call_pre(
-        rays6, prim_t, bits_t, fields_t, lights, ct_tiles,
+        rays6, prim_t, bits_t, fields_t, lights, mats, ct_tiles,
         num_tris=num_tris, interpret=interpret)
 
     d_lights = _unpack_light_cts(d_lights_t, lights.shape[0])
+    d_mats = _unpack_mat_cts(d_lights_t, mats.shape[0])
     d_o, d_d = _unpack_ray_cts(d_rays_t, n)
-    return (d_fields_t, d_lights, d_o, d_d, _f0(prim), _f0(bits))
+    return (d_fields_t, d_lights, d_mats, d_o, d_d, _f0(prim), _f0(bits))
 
 
 _shade_core_pre.defvjp(_shade_core_pre_fwd, _shade_core_pre_bwd)
@@ -639,10 +738,21 @@ def shade_fused_pallas(scene: Scene, origins, dirs, hit, bits,
         outs = _shade_core(tri_table, aux, lights, origins, dirs, prim, bits,
                            interpret)
     else:
-        # One differentiable packed-row gather (reconstruct_hit's layout);
-        # miss lanes fall through to row 0 like the select variant.
-        table = jnp.concatenate([_tri_table(scene), _aux_table(scene)],
-                                axis=1)  # [T, 28]
+        # One differentiable packed-row gather of the MINIMAL payload
+        # (vertices + vertex normals + material id; the face normal is
+        # recomputed in-kernel and kd/ks/shininess selected from the tiny
+        # [M, 7] table); miss lanes fall through to row 0 like the select
+        # variant.
+        tris = scene.triangles
+        table = jnp.concatenate(
+            [_tri_table(scene),
+             scene.normals[tris[:, 0]], scene.normals[tris[:, 1]],
+             scene.normals[tris[:, 2]],
+             scene.tri_material[:, None].astype(jnp.float32)],
+            axis=1)  # [T, 19]
+        mats = jnp.concatenate(
+            [scene.materials.kd, scene.materials.ks,
+             scene.materials.shininess[:, None]], axis=1)  # [M, 7]
         n = origins.shape[0]
         g = -(-n // (RAY_ROWS * RAY_COLS))
         prim_t = _pack_int(prim, n, g, RAY_ROWS, -1)
@@ -651,8 +761,8 @@ def shade_fused_pallas(scene: Scene, origins, dirs, hit, bits,
         else:
             rows = table[jnp.clip(prim, 0, num_tris - 1)]
             fields_t = _pack_fields(rows, n, g)
-        outs = _shade_core_pre(fields_t, lights, origins, dirs, prim, bits,
-                               num_tris, interpret)
+        outs = _shade_core_pre(fields_t, lights, mats, origins, dirs, prim,
+                               bits, num_tris, interpret)
     (dr, dg, db, ksx, ksy, ksz, nx, ny, nz, px, py, pz) = outs
     direct = jnp.stack([dr, dg, db], axis=-1)
     ks = jnp.stack([ksx, ksy, ksz], axis=-1)

@@ -143,6 +143,7 @@ def test_table2_custom_presets(scenes):
     # the HBM-streaming structure in build_accel.
     from cg_raytracer_tpu.models.whitted import build_accel
     from cg_raytracer_tpu.ops.pallas_bvh import HBMBVH, VMEM_MAX_TRIS
+    from cg_raytracer_tpu.ops.pallas_bvh4 import HBMBVH4
 
     teacup = scenes("teacup")
     assert teacup.num_triangles == 48_000
@@ -150,7 +151,13 @@ def test_table2_custom_presets(scenes):
     assert donut.num_triangles == 320_000
     assert donut.num_triangles > VMEM_MAX_TRIS
     accel = build_accel(donut, cgrt.RenderConfig(width=8, height=8, backend="pallas"))
-    assert isinstance(accel, HBMBVH)
+    # Round-4 auto: the 4-wide HBM-streaming structure (bvh_wide_hbm='4');
+    # '2' still builds the binary one.
+    assert isinstance(accel, HBMBVH4)
+    accel2 = build_accel(donut, cgrt.RenderConfig(width=8, height=8,
+                                                  backend="pallas",
+                                                  bvh_wide_hbm="2"))
+    assert isinstance(accel2, HBMBVH)
     # Teacup renders something sensible through the jnp BVH backend.
     img = _render(teacup, cgrt.RenderConfig(width=32, height=32, backend="bvh"))
     assert img.max() > 0.0
