@@ -520,8 +520,14 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     # bounces, materials stop-gradded), then the differentiable shade chain
     # over them.  Same eligibility conditions as remat (the record phase must
     # capture everything the shade needs: fused shadow bits, no stochastic
-    # spherical sampling).
-    two_phase_ok = (cfg.resolve_grad_two_phase()
+    # spherical sampling).  forward_only renders on scenes past the trace
+    # megakernel's cap take it too when the shade kernel applies: the
+    # kernelized shade chain beats the XLA reconstruct+shade forward
+    # (measured — teacup 800^2 fwd+bwd through it ran FASTER than the
+    # XLA-shade fwd-only row, BENCH_NOTES r4).
+    fwd_only_kernel = (cfg.forward_only and backend.trace is None
+                       and cfg.resolve_shade_kernel())
+    two_phase_ok = ((cfg.resolve_grad_two_phase() or fwd_only_kernel)
                     and backend.bounce is not None
                     and scene.spherical_lights.position.shape[0] == 0
                     and sample_constrain is None)
@@ -580,7 +586,10 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         # 'recorded' keeps the r3 contract (phase 2 consumes the stop-gradded
         # phase-1 rays; drops the reflected-origin vertex term — selected by
         # optimize()/run_bench only when that term is structurally zero).
-        exact_rays = cfg.resolve_two_phase_rays() == "exact"
+        # forward_only never differentiates, so the recorded rays are always
+        # right there.
+        exact_rays = (cfg.resolve_two_phase_rays() == "exact"
+                      and not cfg.forward_only)
         color = jnp.zeros((n, 3), jnp.float32)
         throughput = jnp.ones((n, 3), jnp.float32)
         o_l, d_l = origins, dirs

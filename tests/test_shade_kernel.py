@@ -327,3 +327,16 @@ def test_bounce_refl_matches_bounce_plus_reconstruct(cornell, records):
                                rtol=1e-4, atol=1e-5)
     rf_x = v & (np.asarray(surf.ks) > 0.01).any(-1)
     np.testing.assert_array_equal(np.asarray(rf), rf_x)
+
+
+def test_forward_only_kernelized_shade_matches_default():
+    # forward_only past the trace-megakernel cap routes through the record
+    # phase + shade kernel (round 4); image must match the XLA-shade path.
+    scene = cgrt.load_scene("monkey")
+    cam = cgrt.Camera.default()
+    cfg0 = cgrt.RenderConfig(width=32, height=32, backend="pallas",
+                             forward_only=True, shade_kernel="off")
+    cfgk = dataclasses.replace(cfg0, shade_kernel="on")
+    img0 = np.asarray(render_image(scene, cam, cfg0))
+    imgk = np.asarray(render_image(scene, cam, cfgk))
+    np.testing.assert_allclose(imgk, img0, rtol=1e-4, atol=1e-5)
