@@ -521,11 +521,14 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     # over them.  Same eligibility conditions as remat (the record phase must
     # capture everything the shade needs: fused shadow bits, no stochastic
     # spherical sampling).  forward_only renders on scenes past the trace
-    # megakernel's cap take it too when the shade kernel applies: the
-    # kernelized shade chain beats the XLA reconstruct+shade forward
-    # (measured — teacup 800^2 fwd+bwd through it ran FASTER than the
-    # XLA-shade fwd-only row, BENCH_NOTES r4).
+    # megakernel's cap take it too when the shade kernel applies AND the
+    # bounce depth is >= 2: the kernelized chain beats the XLA
+    # reconstruct+shade forward exactly when that chain runs per level
+    # (teacup 61.2 -> 54.1 ms measured; depth-1 scenes tie or lose —
+    # dragon 34.0 -> 41.3 — because the kernel's 12 output arrays outweigh
+    # one cheap fused XLA shade; r4_results.jsonl fwd_kernelized).
     fwd_only_kernel = (cfg.forward_only and backend.trace is None
+                       and cfg.max_depth >= 2
                        and cfg.resolve_shade_kernel())
     two_phase_ok = ((cfg.resolve_grad_two_phase() or fwd_only_kernel)
                     and backend.bounce is not None
