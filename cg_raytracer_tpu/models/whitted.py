@@ -521,15 +521,11 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     # over them.  Same eligibility conditions as remat (the record phase must
     # capture everything the shade needs: fused shadow bits, no stochastic
     # spherical sampling).  forward_only renders on scenes past the trace
-    # megakernel's cap take it too when the shade kernel applies AND the
-    # bounce depth is >= 2: the kernelized chain beats the XLA
-    # reconstruct+shade forward exactly when that chain runs per level
-    # (teacup 61.2 -> 54.1 ms measured; depth-1 scenes tie or lose —
-    # dragon 34.0 -> 41.3 — because the kernel's 12 output arrays outweigh
-    # one cheap fused XLA shade; r4_results.jsonl fwd_kernelized).
+    # megakernel's cap take it too when resolve_fwd_shade_kernel (host-side,
+    # in render()/run_bench) resolved the routing 'on' — see the
+    # fwd_shade_kernel knob for the measured rule.
     fwd_only_kernel = (cfg.forward_only and backend.trace is None
-                       and cfg.max_depth >= 2
-                       and cfg.resolve_shade_kernel())
+                       and cfg.fwd_shade_kernel == "on")
     two_phase_ok = ((cfg.resolve_grad_two_phase() or fwd_only_kernel)
                     and backend.bounce is not None
                     and scene.spherical_lights.position.shape[0] == 0
@@ -834,6 +830,31 @@ def effective_max_depth(scene: Scene, cfg: RenderConfig) -> int:
     return cfg.max_depth if reflective else min(cfg.max_depth, 1)
 
 
+def resolve_fwd_shade_kernel(scene: Scene, cfg: RenderConfig) -> RenderConfig:
+    """Host-side resolution of cfg.fwd_shade_kernel='auto' (see the knob's
+    comment for the measured rule).  No-op on traced scenes or when the knob
+    is already concrete."""
+    import dataclasses
+
+    import numpy as np
+
+    if not cfg.forward_only or cfg.fwd_shade_kernel != "auto":
+        return cfg
+    try:
+        ks = np.asarray(scene.materials.ks)
+        tri_mat = np.asarray(scene.tri_material)
+    except Exception:  # traced: keep 'auto' (= off at trace time)
+        return cfg
+    from ..ops.pallas_shade import supports_shade_kernel
+
+    on = False
+    if (cfg.max_depth >= 2 and cfg.resolve_shade_kernel()
+            and supports_shade_kernel(scene) and scene.num_triangles > 0):
+        refl_frac = float((ks[tri_mat] > 0.01).any(axis=-1).mean())
+        on = refl_frac > 0.05
+    return dataclasses.replace(cfg, fwd_shade_kernel="on" if on else "off")
+
+
 def needs_bvh(cfg: RenderConfig, num_tris: int) -> bool:
     """Whether the resolved backend requires a prebuilt acceleration structure
     (host-side build — must happen outside jit)."""
@@ -962,6 +983,7 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig, key=None, jit: bool 
     depth = effective_max_depth(scene, cfg)
     if depth != cfg.max_depth:
         cfg = dataclasses.replace(cfg, max_depth=depth)
+    cfg = resolve_fwd_shade_kernel(scene, cfg)
     if bvh is None and needs_bvh(cfg, scene.num_triangles):
         bvh = build_accel(scene, cfg)
     if key is None:

@@ -293,20 +293,23 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
     if num_tris > 0:
         tris = scene.triangles
         mat_id_all = scene.tri_material
-        # Geometry-only pack [T, 18]: materials gather separately through the
-        # tiny per-material tables ([N] ids -> [M, 3] rows), which shrinks
-        # the big-T row gather AND its VJP scatter by 36% — the measured
-        # bound on the mesh shade chain is attribute movement, not math
-        # (BENCH_NOTES r4 gather-cost rows).
+        # ONE packed gather, materials pre-expanded per triangle: XLA's TPU
+        # gather cost is dominated by the per-op element count, NOT bytes
+        # (r4 measured ~5 ms per 640K-row gather whether 19 or 28 lanes, and
+        # splitting this into geometry + per-material gathers REGRESSED
+        # teacup fwd+bwd 55.8 -> 68.4 ms) — so fewer gather ops beats
+        # narrower rows here.
         packed = jnp.concatenate(
             [
                 scene.vertices[tris[:, 0]], scene.vertices[tris[:, 1]],
                 scene.vertices[tris[:, 2]],
                 scene.normals[tris[:, 0]], scene.normals[tris[:, 1]],
                 scene.normals[tris[:, 2]],
+                scene.materials.kd[mat_id_all], scene.materials.ks[mat_id_all],
+                scene.materials.shininess[mat_id_all][:, None],
             ],
             axis=1,
-        )  # [T, 18]
+        )  # [T, 28]
         if num_tris <= 128:
             # Gather-as-matmul: one_hot(ids) @ table runs on the MXU and its
             # transpose (the vertex/material grad scatter) is also a matmul —
@@ -319,13 +322,11 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
             row = jnp.dot(onehot, packed, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
         else:
-            row = packed[tri_ids]  # [N, 18] — single per-ray row gather
+            row = packed[tri_ids]  # [N, 28] — single per-ray row gather
         v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
         n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
-        mat_ids = mat_id_all[tri_ids]
-        kd_tri = scene.materials.kd[mat_ids]
-        ks_tri = scene.materials.ks[mat_ids]
-        shin_tri = scene.materials.shininess[mat_ids]
+        kd_tri, ks_tri = row[..., 18:21], row[..., 21:24]
+        shin_tri = row[..., 24]
         t_tri, u, v, _ = moller_trumbore(origins, dirs, v0, v1, v2)
         w0 = 1.0 - u - v
         n_interp = safe_normalize(w0[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)

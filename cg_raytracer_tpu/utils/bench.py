@@ -60,6 +60,9 @@ def run_bench(scene: str = "cornell_box", width: int = 1024, height: int = 1024,
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
     cfg = dataclasses.replace(cfg, max_depth=effective_max_depth(scn, cfg))
+    from ..models.whitted import resolve_fwd_shade_kernel
+
+    cfg = resolve_fwd_shade_kernel(scn, cfg)
     camera = Camera.default(aspect=width / height)
     key = jax.random.PRNGKey(0)
     bvh = build_accel(scn, cfg) if needs_bvh(cfg, scn.num_triangles) else None

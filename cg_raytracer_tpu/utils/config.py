@@ -311,6 +311,17 @@ class RenderConfig:
         # shows the restructure beating the one-phase graph.
         return False
 
+    # Route forward_only renders (past the trace megakernel's cap) through
+    # the record phase + fused shade kernel.  'auto' resolves HOST-SIDE in
+    # render()/run_bench via models.whitted.resolve_fwd_shade_kernel — 'on'
+    # only when bounce depth >= 2 AND a meaningful fraction of triangles is
+    # actually reflective: the kernel chain wins when the XLA chain would
+    # run twice over live rays (teacup 61.2 -> 54.1 ms) and loses when the
+    # second level is dead (dragon 34.0 -> 41.6 — its material table has a
+    # reflective entry no visible triangle uses).  At trace time 'auto'
+    # means 'off'.
+    fwd_shade_kernel: str = "auto"
+
     # Phase-2 ray source for the two-phase structure.  'exact': bounce rays
     # are recomputed differentiably from each level's surface, so the
     # reflected-ray-origin vertex-grad term flows (full-gradient contract).

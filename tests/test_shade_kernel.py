@@ -336,7 +336,8 @@ def test_forward_only_kernelized_shade_matches_default():
     cam = cgrt.Camera.default()
     cfg0 = cgrt.RenderConfig(width=32, height=32, backend="pallas",
                              forward_only=True, shade_kernel="off")
-    cfgk = dataclasses.replace(cfg0, shade_kernel="on")
+    cfgk = dataclasses.replace(cfg0, shade_kernel="on",
+                               fwd_shade_kernel="on")
     img0 = np.asarray(render_image(scene, cam, cfg0))
     imgk = np.asarray(render_image(scene, cam, cfgk))
     np.testing.assert_allclose(imgk, img0, rtol=1e-4, atol=1e-5)
