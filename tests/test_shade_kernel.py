@@ -341,3 +341,30 @@ def test_forward_only_kernelized_shade_matches_default():
     img0 = np.asarray(render_image(scene, cam, cfg0))
     imgk = np.asarray(render_image(scene, cam, cfgk))
     np.testing.assert_allclose(imgk, img0, rtol=1e-4, atol=1e-5)
+
+
+def test_resolve_fwd_shade_kernel_gate():
+    # Host-side routing: on only for forward_only + depth >= 2 + a real
+    # reflective fraction (>5% of triangles) + kernel-eligible scene.
+    from cg_raytracer_tpu.models.whitted import (effective_max_depth,
+                                                 resolve_fwd_shade_kernel)
+
+    def resolved(name, **over):
+        s = cgrt.load_scene(name)
+        cfg = cgrt.RenderConfig(width=8, height=8, forward_only=True,
+                                shade_kernel="on", **over)
+        cfg = dataclasses.replace(cfg, max_depth=effective_max_depth(s, cfg))
+        return resolve_fwd_shade_kernel(s, cfg).fwd_shade_kernel
+
+    assert resolved("teacup") == "on"  # reflective shell, depth 2
+    # dragon: material table has a reflective entry but no visible triangle
+    # uses it -> depth clamps to 1 on this stand-in OR fraction ~0.
+    assert resolved("dragon") == "off"
+    assert resolved("monkey_spherical_light") == "off"  # spherical: no kernel
+    # Not forward-only or explicit knob: untouched.
+    s = cgrt.load_scene("teacup")
+    cfg = cgrt.RenderConfig(width=8, height=8, forward_only=False)
+    assert resolve_fwd_shade_kernel(s, cfg).fwd_shade_kernel == "auto"
+    cfg = cgrt.RenderConfig(width=8, height=8, forward_only=True,
+                            fwd_shade_kernel="off")
+    assert resolve_fwd_shade_kernel(s, cfg).fwd_shade_kernel == "off"
