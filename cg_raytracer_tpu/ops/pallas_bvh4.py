@@ -155,6 +155,24 @@ def collapse_bvhw(packed: PackedBVH, width: int = 4) -> PackedBVH4:
             i += 1
         nw = len(rows)
         assert nw < (1 << 24)
+        # Stack-occupancy bound (ADVICE r4): each internal pop removes one
+        # entry and pushes up to ``width``, so a root-to-leaf descent holds at
+        # most (width-1) * depth + 1 live entries.  The kernels share a
+        # MAX_STACK-sized SMEM scratch sized for the narrower fan-outs; a
+        # deep unbalanced tree collapsed at width 8 could overflow it and
+        # silently corrupt traversal — refuse at build time instead.
+        depth_w = np.zeros(nw, np.int64)
+        for my, children in enumerate(rows):
+            for c in children:
+                if isinstance(c[2], tuple):
+                    depth_w[idw_of[c[2][1]]] = depth_w[my] + 1
+        need = (width - 1) * (int(depth_w.max(initial=0)) + 1) + 1
+        if need > MAX_STACK:
+            raise ValueError(
+                f"collapsed width-{width} tree depth "
+                f"{int(depth_w.max(initial=0)) + 1} needs a {need}-entry "
+                f"traversal stack > MAX_STACK={MAX_STACK}; rebuild with a "
+                f"narrower width (bvh_wide='4') or wider leaves")
         table = np.zeros((nw, lanes), np.float32)
         # Empty child slots carry NaN boxes: every slab comparison is false, so
         # they can never be visited.  (An "inverted" lo > hi box does NOT work:

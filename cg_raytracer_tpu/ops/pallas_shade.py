@@ -563,7 +563,10 @@ def _gather_fields_tiled(table, prim_t):
     is the matching direct-layout scatter-add.  Padding/miss lanes carry
     prim -1 -> clipped to row 0 (select-gather fallthrough semantics; their
     cotangents are gated to zero in-kernel)."""
-    idx = jnp.maximum(prim_t, 0).astype(jnp.int32)[..., None]
+    # Clip BOTH ends (ADVICE r4): lax.gather defaults to PROMISE_IN_BOUNDS,
+    # so an out-of-range prim (no record source emits one today, but the
+    # documented fallthrough is row 0 / clip) must never reach it raw.
+    idx = jnp.clip(prim_t, 0, table.shape[0] - 1).astype(jnp.int32)[..., None]
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
     return jax.lax.gather(table, idx, dn,

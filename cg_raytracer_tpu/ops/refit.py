@@ -39,7 +39,7 @@ import numpy as np
 from ..scene.types import Scene
 from .bvh import BVH
 from .pallas_bvh import TRIS_PER_ROW, HBMBVH, PackedBVH
-from .pallas_bvh4 import _ENC_LEAF_SHIFT, PackedBVH4
+from .pallas_bvh4 import _ENC_LEAF_SHIFT, HBMBVH4, PackedBVH4
 
 _BIG = np.float32(3.4e38)
 
@@ -132,7 +132,7 @@ def make_refit_plan(accel, scene: Scene) -> RefitPlan:
             levels=_levels_from_children(left, right, is_leaf),
             left=left, right=right, num_nodes=nodes.shape[0],
         )
-    if isinstance(accel, PackedBVH4):
+    if isinstance(accel, (PackedBVH4, HBMBVH4)):
         if accel.width != 4:
             raise NotImplementedError(
                 f"refit supports width-4 wide trees only (got width="
@@ -238,7 +238,7 @@ def refit_accel(accel, scene: Scene, plan=None):
     if plan is None:
         plan = make_refit_plan(accel, scene)
     p0, p1, p2, live = _slot_vertices(plan, scene)
-    if isinstance(accel, PackedBVH4):
+    if isinstance(accel, (PackedBVH4, HBMBVH4)):
         return _refit_bvh4(accel, plan, p0, p1, p2, live)
     node_lo, node_hi = _refit_boxes(plan, p0, p1, p2, live)
 
@@ -260,10 +260,12 @@ def refit_accel(accel, scene: Scene, plan=None):
     raise TypeError(f"no refit for accel type {type(accel).__name__}")
 
 
-def _refit_bvh4(accel: PackedBVH4, plan: RefitPlan4, p0, p1, p2, live):
-    """BVH4 refit: leaf child boxes by segment reduce keyed on (parent, lane),
-    internal child boxes by a deepest-first union sweep with NaN-transparent
-    fmin/fmax (empty child slots carry NaN boxes — pallas_bvh4 docstring)."""
+def _refit_bvh4(accel, plan: RefitPlan4, p0, p1, p2, live):
+    """BVH4/HBMBVH4 refit: leaf child boxes by segment reduce keyed on
+    (parent, lane), internal child boxes by a deepest-first union sweep with
+    NaN-transparent fmin/fmax (empty child slots carry NaN boxes —
+    pallas_bvh4 docstring).  The HBM-streaming variant additionally lane-pads
+    its triangle rows 126 -> 128 and keeps the ``leaf_rows`` tail guard."""
     tri_lo = jnp.minimum(jnp.minimum(p0, p1), p2)
     tri_hi = jnp.maximum(jnp.maximum(p0, p1), p2)
     tri_lo = jnp.where(live[:, None], tri_lo, _BIG)
@@ -295,4 +297,8 @@ def _refit_bvh4(accel: PackedBVH4, plan: RefitPlan4, p0, p1, p2, live):
 
     nodes4 = accel.nodes4.at[:, :24].set(boxes.reshape(plan.num_nodes, 24))
     rows = jnp.concatenate([p0, p1, p2], axis=1).reshape(-1, TRIS_PER_ROW * 9)
+    if isinstance(accel, HBMBVH4):
+        tail = accel.tri_rows.shape[0] - rows.shape[0]
+        rows = jnp.pad(rows, ((0, tail), (0, 128 - TRIS_PER_ROW * 9)))
+        rows = rows.astype(accel.tri_rows.dtype)
     return accel._replace(nodes4=nodes4, tri_rows=rows)

@@ -144,6 +144,33 @@ def test_bvh4_refit_matches_brute_on_moved_geometry():
     assert (~np.isclose(tb, t4, atol=1e-4, rtol=1e-5)).mean() < 0.002
 
 
+def test_bvh4_hbm_refit_matches_brute_on_moved_geometry():
+    """ADVICE r4 (medium): build_accel's auto now returns HBMBVH4 for
+    past-VMEM-cap scenes, so vertex optimization needs a refit branch for it
+    (previously a TypeError at the make_refit_plan fallthrough)."""
+    from cg_raytracer_tpu.ops.pallas_bvh4 import (build_hbm_bvh4,
+                                                  intersect_pallas_bvh4_hbm)
+    from cg_raytracer_tpu.ops.refit import make_refit_plan, refit_accel
+
+    scene = cgrt.load_scene("monkey")
+    _, h4 = build_hbm_bvh4(scene, leaf_rows=2)
+    plan = make_refit_plan(h4, scene)
+    rng = np.random.default_rng(3)
+    v2 = np.asarray(scene.vertices) + rng.normal(
+        scale=0.05, size=scene.vertices.shape).astype(np.float32)
+    scene2 = dataclasses.replace(scene, vertices=jnp.asarray(v2))
+    h4b = jax.jit(lambda s: refit_accel(h4, s, plan))(scene2)
+    assert h4b.tri_rows.shape == h4.tri_rows.shape
+    assert h4b.tri_rows.dtype == h4.tri_rows.dtype
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 32, 32)
+    hb = intersect_brute(scene2, o, d)
+    hp = intersect_pallas_bvh4_hbm(scene2, h4b, o, d, tile_rows=16,
+                                   interpret=True)
+    tb = np.where(np.isinf(np.asarray(hb.t)), 1e9, np.asarray(hb.t))
+    tp = np.where(np.isinf(np.asarray(hp.t)), 1e9, np.asarray(hp.t))
+    assert (~np.isclose(tb, tp, atol=1e-4, rtol=1e-5)).mean() < 0.002
+
+
 # ---------------------------------------------------------------------------
 # HBM-streaming 4-wide variant (round 4): per-leaf DMA pipeline + interleaved
 # bands, each with its own buffer/semaphore pair.
