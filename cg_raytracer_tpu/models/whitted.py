@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..ops import camera as cam_ops
 from ..ops import shading
 from ..ops.bvh import BVH, build_bvh, intersect_bvh, occluded_bvh
-from ..ops.intersect import intersect_brute, occluded_brute, reconstruct_hit
+from ..ops.intersect import (intersect_brute, occluded_brute,
+                             reconstruct_hit, record_surface)
 from ..ops.linalg import reflect, safe_normalize
 from ..scene.types import Camera, Scene
 from ..utils.config import RenderConfig
@@ -263,11 +264,12 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
             packed4 = bvh
             il = cfg.resolve_bvh_interleave()
             rows = cfg.resolve_bvh_tile_rows(wide=True)
+            pop = cfg.resolve_bvh_pop()
             bounce = None
             if supports_fused_bounce_bvh4(scene):
                 bounce = lambda o, d, live=None: bounce_pallas_bvh4(
                     scene, packed4, o, d, tile_rows=rows, live=live,
-                    interleave=il)
+                    interleave=il, pop=pop)
             soft_vis = None
             use_soft_kernel = cfg.resolve_soft_shadow_kernel()
             if use_soft_kernel and jax.default_backend() != "tpu":
@@ -299,9 +301,11 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                                 scene, soft_tree, pos, lpos, lrad, k, ns))
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4(
-                    scene, packed4, o, d, tile_rows=rows, interleave=il),
+                    scene, packed4, o, d, tile_rows=rows, interleave=il,
+                    pop=pop),
                 occluded=lambda o, d, tm: occluded_pallas_bvh4(
-                    scene, packed4, o, d, tm, tile_rows=rows, interleave=il),
+                    scene, packed4, o, d, tm, tile_rows=rows, interleave=il,
+                    pop=pop),
                 bounce=bounce,
                 soft_vis=soft_vis,
             )
@@ -465,7 +469,11 @@ def _two_phase_records(sg_scene, origins, dirs, cfg, backend, resort,
         records.append((o, d, hit, bits, active))
         if level + 1 >= cfg.max_depth:
             break
-        surf = reconstruct_hit(sg_scene, o, d, hit)
+        # Recorded-surface fast path (round 5): position/normal/ks straight
+        # from the recorded (t, u, v) — no Möller–Trumbore recompute, and a
+        # [T, 15] gather instead of reconstruct's [T, 28].  Exact here: the
+        # whole record phase is stop-gradient domain.
+        surf = record_surface(sg_scene, o, d, hit)
         lit = active & surf.valid
         if cfg.reference_quirks:
             reflective = surf.ks[..., 2] > 0.01
@@ -476,6 +484,41 @@ def _two_phase_records(sg_scene, origins, dirs, cfg, backend, resort,
         o = surf.position + REFLECT_EPS * refl_dir
         d = jnp.where(active[..., None], refl_dir, d)
     return records
+
+
+def _synth_bounce(scene: Scene, backend: Backend):
+    """Compose a (Hit, shadow_bits) bounce from the closest/any-hit oracles.
+
+    Backends without a fused bounce kernel (the jnp BVH, the brute XLA path,
+    and every scene with sphere primitives — the kernels' in-kernel shadow
+    sweeps don't test spheres) can still take the two-phase gradient
+    structure: the bits here come from the SAME occluded oracle the one-phase
+    ``direct_point_lights`` would call, at positions reconstructed from the
+    recorded t (identical math, so phase placement doesn't change results
+    beyond oracle tie-break noise)."""
+    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    num_lights = lights.shape[0]
+
+    def bounce(o, d, live=None):
+        from ..ops.linalg import norm
+        from ..ops.shading import SHADOW_EPS
+
+        hit = backend.closest(o, d)
+        valid = hit.prim_id >= 0
+        t = jnp.where(valid, hit.t, 0.0)
+        pos = jnp.where(valid[:, None], o + d * t[:, None], 0.0)
+        bits = jnp.zeros((o.shape[0],), jnp.int32)
+        for li in range(num_lights):
+            to_light = lights[li] - pos
+            ldir = safe_normalize(to_light)
+            dist = norm(to_light)
+            shadow_origin = pos + SHADOW_EPS * ldir
+            blocked = backend.occluded(shadow_origin, ldir,
+                                       dist - SHADOW_EPS)
+            bits = bits | (blocked.astype(jnp.int32) << li)
+        return hit, bits
+
+    return bounce
 
 
 def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend, key,
@@ -526,10 +569,18 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
     # fwd_shade_kernel knob for the measured rule.
     fwd_only_kernel = (cfg.forward_only and backend.trace is None
                        and cfg.fwd_shade_kernel == "on")
+    # Spherical-light scenes take the two-phase structure too (round 5,
+    # VERDICT r4 missing #1): phase 1 additionally records per-level
+    # soft-shadow visibility fractions (shading.spherical_fracs — an oracle,
+    # same PRNG stream as the one-phase path), which phase 2's shade consumes
+    # as discrete inputs scaling the differentiable Phong terms.
     two_phase_ok = ((cfg.resolve_grad_two_phase() or fwd_only_kernel)
-                    and backend.bounce is not None
-                    and scene.spherical_lights.position.shape[0] == 0
                     and sample_constrain is None)
+    if two_phase_ok and backend.bounce is None:
+        # No fused bounce kernel (jnp/brute backends, sphere scenes):
+        # synthesize one from the closest/any-hit oracles so the two-phase
+        # restructure — and with it the fused shade kernel — still applies.
+        backend = backend._replace(bounce=_synth_bounce(scene, backend))
 
     # Fused shade kernel: two-phase only (it consumes the phase-1 records'
     # hit ids + shadow bits; its custom VJP emits cotangents for materials,
@@ -541,7 +592,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
 
         use_shade_kernel = supports_shade_kernel(scene)
 
-    def shade_level(scene_, o_, d_, hit_, bits_, lkey_):
+    def shade_level(scene_, o_, d_, hit_, bits_, lkey_, soft_fracs_=None):
         surf_ = reconstruct_hit(scene_, o_, d_, hit_)
         direct_ = shading.direct_light(
             scene_, d_, surf_, backend.occluded, lkey_,
@@ -552,6 +603,7 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
             # Sample-axis sharding owns the sample stream; the in-kernel
             # sampler yields to it.
             soft_vis_fn=None if sample_constrain is not None else backend.soft_vis,
+            soft_fracs=soft_fracs_,
         )
         return direct_, surf_.valid, surf_.ks, surf_.normal, surf_.position
 
@@ -572,6 +624,27 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
                                          backend, resort,
                                          scene_lo if resort != "off" else None,
                                          scene_hi if resort != "off" else None)
+
+        # Spherical-light oracle records: per-level visibility fractions at
+        # the recorded hit positions (o + t*d, zeroed on miss — Surface miss
+        # semantics), with the SAME per-level/per-light/per-chunk key folding
+        # as the one-phase path, so the sampled visibility is identical.
+        num_sph = scene.spherical_lights.position.shape[0]
+        soft_fracs_levels = None
+        if num_sph > 0:
+            soft_fracs_levels = []
+            for level, (o_rec, d_rec, hit_l, _, _) in enumerate(records):
+                valid_l = hit_l.prim_id >= 0
+                t_l = jnp.where(valid_l, hit_l.t, 0.0)
+                pos_l = jnp.where(valid_l[:, None],
+                                  o_rec + d_rec * t_l[:, None], 0.0)
+                fr = shading.spherical_fracs(
+                    sg_scene, pos_l, backend.occluded,
+                    jax.random.fold_in(key, level),
+                    num_samples=cfg.soft_shadow_samples,
+                    sample_chunk=cfg.soft_shadow_chunk,
+                    soft_vis_fn=backend.soft_vis)
+                soft_fracs_levels.append(fr)
 
         # --- Phase 2: differentiable shade chain over the records, with the
         # bounce rays RECOMPUTED differentiably from the previous level's
@@ -595,14 +668,16 @@ def trace_rays(scene: Scene, origins, dirs, cfg: RenderConfig, backend: Backend,
         for level, (o_rec, d_rec, hit_l, bits_l, active_l) in enumerate(records):
             if not exact_rays and level > 0:
                 o_l, d_l = o_rec, d_rec
+            fr_l = (soft_fracs_levels[level]
+                    if soft_fracs_levels is not None else None)
             if use_shade_kernel:
                 direct, valid, ks, normal, position = shade_fused_pallas(
                     scene, o_l, d_l, hit_l, bits_l,
-                    gather=cfg.resolve_shade_gather())
+                    gather=cfg.resolve_shade_gather(), soft_fracs=fr_l)
             else:
                 lkey = jax.random.fold_in(key, level)
                 direct, valid, ks, normal, position = shade_level(
-                    scene, o_l, d_l, hit_l, bits_l, lkey)
+                    scene, o_l, d_l, hit_l, bits_l, lkey, fr_l)
             lit = active_l & valid
             color = color + throughput * direct * lit[..., None].astype(jnp.float32)
             throughput = throughput * ks
@@ -848,7 +923,11 @@ def resolve_fwd_shade_kernel(scene: Scene, cfg: RenderConfig) -> RenderConfig:
     from ..ops.pallas_shade import supports_shade_kernel
 
     on = False
+    # Spherical-light scenes keep the XLA forward path: the fwd+bwd kernel
+    # win is measured, the forward-only one is not (round-4 wash) — don't
+    # widen unmeasured forward routing with the round-5 spherical support.
     if (cfg.max_depth >= 2 and cfg.resolve_shade_kernel()
+            and scene.spherical_lights.position.shape[0] == 0
             and supports_shade_kernel(scene) and scene.num_triangles > 0):
         refl_frac = float((ks[tri_mat] > 0.01).any(axis=-1).mean())
         on = refl_frac > 0.05

@@ -345,8 +345,23 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
         sp_ids = jnp.clip(prim - num_tris, 0, num_spheres - 1)
         center = scene.spheres.center[sp_ids]
         radius = scene.spheres.radius[sp_ids]
-        t_sp, _ = intersect_spheres_one(origins, dirs, center, radius)
-        t_sp = jnp.where(jnp.isinf(t_sp), 0.0, t_sp)
+        # Differentiable quadratic recompute with the discriminant GATED at
+        # the input (the det_safe pattern): intersect_spheres_one's
+        # sqrt(max(disc, 0)) has an infinite derivative at disc <= 0, and
+        # inf * 0 through the miss-lane where() poisons center/radius grads
+        # to NaN (every non-sphere lane evaluates this on a clipped id).
+        oc = origins - center
+        qa = dot(dirs, dirs)
+        qb = 2.0 * dot(dirs, oc)
+        qc = dot(oc, oc) - radius * radius
+        disc = qb * qb - 4.0 * qa * qc
+        disc_ok = disc > 0.0
+        sq = jnp.sqrt(jnp.where(disc_ok, disc, 1.0))
+        sq = jnp.where(disc_ok, sq, 0.0)
+        t_small = (-qb - sq) / (2.0 * qa)
+        t_big = (-qb + sq) / (2.0 * qa)
+        t_sp = jnp.where(t_small >= 0.0, t_small, t_big)
+        t_sp = jnp.where(disc_ok & (t_sp >= 0.0), t_sp, 0.0)
         pos_sp = origins + dirs * t_sp[..., None]
         n_sp = safe_normalize(pos_sp - center)
         kd_sp = scene.spheres.kd[sp_ids]
@@ -374,4 +389,83 @@ def reconstruct_hit(scene: Scene, origins, dirs, hit: Hit) -> Surface:
         kd=jnp.where(valid[..., None], kd, zero3),
         ks=jnp.where(valid[..., None], ks, zero3),
         shininess=jnp.where(valid, shininess, jnp.ones_like(shininess)),
+    )
+
+def record_surface(scene: Scene, origins, dirs, hit: Hit) -> Surface:
+    """Phase-1 surface straight from RECORDED oracle outputs (t, u, v, prim)
+    — no Möller–Trumbore recompute (VERDICT r4 item 4).
+
+    The two-phase record loop only needs (position, normal, ks, valid) to
+    build the next bounce's rays, and it runs entirely in the stop-gradient
+    domain (models/whitted.py::_two_phase_records), so consuming the
+    recorded t/u/v (instead of recomputing them differentiably, as
+    ``reconstruct_hit`` must for phase 2) is exact there:
+
+    - position = o + t * d (ZERO gathers),
+    - normal interpolated from the recorded barycentrics over a narrower
+      [T, 15] pack (vertex normals + precomputed face normal + pre-expanded
+      ks) — one row gather instead of reconstruct's [T, 28],
+    - kd/shininess are not needed and return as zeros/ones.
+
+    Sphere hits (prim >= T) recompute the geometric normal from the recorded
+    t (ray_tracing.cpp:156).  Requires records whose Hit carries real u/v —
+    all oracle sources do since round 5 (record_trace emitted placeholders
+    before).
+    """
+    num_tris = scene.num_triangles
+    prim = jax.lax.stop_gradient(hit.prim_id)
+    t_rec = jax.lax.stop_gradient(hit.t)
+    u = jax.lax.stop_gradient(hit.u)
+    v = jax.lax.stop_gradient(hit.v)
+    valid = prim >= 0
+    is_sphere = valid & (prim >= num_tris)
+    t = jnp.where(valid & jnp.isfinite(t_rec), t_rec, 0.0)
+    position = origins + dirs * t[..., None]
+
+    if num_tris > 0:
+        tris = scene.triangles
+        mat_id_all = scene.tri_material
+        face_n = safe_normalize(jnp.cross(
+            scene.vertices[tris[:, 1]] - scene.vertices[tris[:, 0]],
+            scene.vertices[tris[:, 2]] - scene.vertices[tris[:, 0]]))
+        packed = jnp.concatenate(
+            [
+                scene.normals[tris[:, 0]], scene.normals[tris[:, 1]],
+                scene.normals[tris[:, 2]], face_n,
+                scene.materials.ks[mat_id_all],
+            ],
+            axis=1,
+        )  # [T, 15]
+        row = packed[jnp.clip(prim, 0, num_tris - 1)]
+        n0, n1, n2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        fn = row[..., 9:12]
+        ks_tri = row[..., 12:15]
+        w0 = 1.0 - u - v
+        n_interp = safe_normalize(
+            w0[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
+        facing = dot(fn, -dirs) > 0.0
+        n_tri = jnp.where(facing[..., None], n_interp, -n_interp)
+    else:
+        n_tri = jnp.zeros_like(origins)
+        ks_tri = jnp.zeros_like(origins)
+
+    num_spheres = scene.spheres.radius.shape[0]
+    if num_spheres > 0:
+        sp_ids = jnp.clip(prim - num_tris, 0, num_spheres - 1)
+        n_sp = safe_normalize(position - scene.spheres.center[sp_ids])
+        ks_sp = scene.spheres.ks[sp_ids]
+    else:
+        n_sp = jnp.zeros_like(origins)
+        ks_sp = jnp.zeros_like(origins)
+
+    normal = jnp.where(is_sphere[..., None], n_sp, n_tri)
+    ks = jnp.where(is_sphere[..., None], ks_sp, ks_tri)
+    zero3 = jnp.zeros_like(normal)
+    return Surface(
+        valid=valid,
+        position=jnp.where(valid[..., None], position, zero3),
+        normal=jnp.where(valid[..., None], normal, zero3),
+        kd=zero3,
+        ks=jnp.where(valid[..., None], ks, zero3),
+        shininess=jnp.ones(prim.shape, jnp.float32),
     )

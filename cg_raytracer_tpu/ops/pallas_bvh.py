@@ -432,10 +432,13 @@ def occluded_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs, t_max,
     return blocked
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bvh_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "num_lights"))
+def _bvh_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights, interpret=False,
+                     num_lights=None):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
-    kernel = functools.partial(_bvh_bounce_kernel, num_lights=lights.shape[0])
+    if num_lights is None:
+        num_lights = lights.shape[0]
+    kernel = functools.partial(_bvh_bounce_kernel, num_lights=num_lights)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -464,10 +467,13 @@ def supports_fused_bounce_bvh(scene: Scene) -> bool:
     """Fused BVH bounce: VMEM-resident scene, point lights, no sphere primitives
     (spheres would need merging inside the kernel; spherical *lights* are fine —
     their soft shadows go through the separate any-hit oracle)."""
+    num_pl = scene.point_lights.position.shape[0]
+    num_sph = scene.spherical_lights.position.shape[0]
     return (
         supports_pallas_bvh(scene)
         and scene.spheres.radius.shape[0] == 0
-        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+        and num_pl <= MAX_FUSED_LIGHTS
+        and 0 < num_pl + num_sph
     )
 
 
@@ -494,10 +500,12 @@ def bounce_pallas_bvh(scene: Scene, packed: PackedBVH, origins, dirs,
         tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
-    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    from .pallas_kernels import _light_table
+
+    lights, num_lights = _light_table(scene)
     t, slot, u, v, bits = _bvh_bounce_call(
         rays, tm_tiles, packed.nodes, packed.tri_rows, lights,
-        interpret=interpret)
+        interpret=interpret, num_lights=num_lights)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
@@ -881,12 +889,15 @@ def occluded_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs, t_max,
     return blocked
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("leaf_rows", "interpret",
+                                             "num_lights"))
 def _bvh_hbm_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights,
-                         leaf_rows=4, interpret=False):
+                         leaf_rows=4, interpret=False, num_lights=None):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    if num_lights is None:
+        num_lights = lights.shape[0]
     kernel = functools.partial(_bvh_hbm_bounce_kernel,
-                               num_lights=lights.shape[0], leaf_rows=leaf_rows)
+                               num_lights=num_lights, leaf_rows=leaf_rows)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -916,11 +927,15 @@ def _bvh_hbm_bounce_call(rays6, tmax_tiles, nodes, tri_rows, lights,
 
 
 def supports_fused_bounce_bvh_hbm(scene: Scene) -> bool:
-    """Fused HBM bounce: streaming-capable scene, point lights, no spheres."""
+    """Fused HBM bounce: streaming-capable scene, no spheres; spherical-only
+    scenes qualify with zero point lights (empty shadow-bit loop)."""
+    num_pl = scene.point_lights.position.shape[0]
+    num_sph = scene.spherical_lights.position.shape[0]
     return (
         supports_pallas_bvh_hbm(scene)
         and scene.spheres.radius.shape[0] == 0
-        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+        and num_pl <= MAX_FUSED_LIGHTS
+        and 0 < num_pl + num_sph
     )
 
 
@@ -940,10 +955,13 @@ def bounce_pallas_bvh_hbm(scene: Scene, packed: HBMBVH, origins, dirs,
         tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
-    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    from .pallas_kernels import _light_table
+
+    lights, num_lights = _light_table(scene)
     t, slot, u, v, bits = _bvh_hbm_bounce_call(
         rays, tm_tiles, packed.nodes, packed.tri_rows, lights,
-        leaf_rows=packed.leaf_rows, interpret=interpret)
+        leaf_rows=packed.leaf_rows, interpret=interpret,
+        num_lights=num_lights)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)

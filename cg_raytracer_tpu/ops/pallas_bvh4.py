@@ -229,29 +229,58 @@ def _slab4(ox, oy, oz, ix, iy, iz, row, c):
 
 
 def _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp, t_best,
-                     rayvars, width: int):
+                     rayvars, width: int, vred_ref=None, sort: bool = True):
     """Shared internal-node pop: ``width`` slab tests + masked-min reduces, a
     compare-exchange network on (tin, enc) pairs (DESCENDING tin, so the
     nearest child is pushed last / popped first), then guarded pushes.
-    Returns the updated stack pointer."""
+    Returns the updated stack pointer.
+
+    ``vred_ref`` (round-5 'batched' pop variant, VERDICT r4 item 1): a
+    [8, 128] VMEM scratch routing all ``width`` cross-lane reductions through
+    ONE vector->memory crossing — each child's masked tin reduces to a
+    [1, 128] sublane partial (pure vector work), the stacked partials take a
+    single lane-reduce + one store, and the scalar unit reads the ``width``
+    results back with plain loads, instead of issuing ``width`` serialized
+    full-tile reduce->scalar crossings (~0.104 us each, r4_results.jsonl
+    loopcost3).  ``sort=False`` additionally drops the compare-exchange
+    network (children push in static reverse order; the stale-entry t-bound
+    check at pop time absorbs mis-ordering at the cost of extra pops)."""
     ox, oy, oz, dx, dy, dz, ix, iy, iz, t0 = rayvars
     row = nodes4_ref[enc.astype(jnp.int32)]
     tpad = _SLAB_EPS * (1.0 + jnp.abs(t_best))
     bound = t_best + tpad
     ts = []
-    for ci in range(width):
-        tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
-        hit = hit & (tin <= bound)
-        ts.append(jnp.min(jnp.where(hit, tin, _BIG)))
+    if vred_ref is not None:
+        parts = []
+        for ci in range(width):
+            tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
+            hit = hit & (tin <= bound)
+            masked = jnp.where(hit, tin, _BIG)
+            parts.append(jnp.min(masked, axis=0, keepdims=True))  # [1, 128]
+        while len(parts) < 8:
+            parts.append(jnp.full((1, RAY_COLS), _BIG, jnp.float32))
+        buf = jnp.concatenate(parts, axis=0)  # [8, 128]
+        red = jnp.min(buf, axis=1, keepdims=True)  # [8, 1] lane reduce
+        vred_ref[...] = jnp.broadcast_to(red, (8, RAY_COLS))
+        ts = [vred_ref[ci, 0] for ci in range(width)]
+    else:
+        for ci in range(width):
+            tin, hit = _slab4(ox, oy, oz, ix, iy, iz, row, ci)
+            hit = hit & (tin <= bound)
+            ts.append(jnp.min(jnp.where(hit, tin, _BIG)))
     es = [row[6 * width + c] for c in range(width)]
 
-    def cswap(ta, ea, tb, eb):
-        sw = ta < tb
-        return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
-                jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
+    if sort:
+        def cswap(ta, ea, tb, eb):
+            sw = ta < tb
+            return (jnp.where(sw, tb, ta), jnp.where(sw, eb, ea),
+                    jnp.where(sw, ta, tb), jnp.where(sw, ea, eb))
 
-    for a, b in _SORT_NET[width]:
-        ts[a], es[a], ts[b], es[b] = cswap(ts[a], es[a], ts[b], es[b])
+        for a, b in _SORT_NET[width]:
+            ts[a], es[a], ts[b], es[b] = cswap(ts[a], es[a], ts[b], es[b])
+    else:
+        ts = ts[::-1]
+        es = es[::-1]
 
     for tv, ev in zip(ts, es):
         stack_ref[sp] = ev
@@ -261,7 +290,8 @@ def _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp, t_best,
 
 
 def _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, state,
-               any_hit: bool, width: int = 4):
+               any_hit: bool, width: int = 4, vred_ref=None,
+               sort: bool = True):
     """One guarded pop of one tile's wide traversal.
 
     ``rv`` = (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0) ray-tile vectors;
@@ -288,7 +318,8 @@ def _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, state,
     def internal_fn(args):
         sp, t_best, slot, u, v, done, t_ub = args
         sp = _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp,
-                              t_best, rv, width)
+                              t_best, rv, width, vred_ref=vred_ref,
+                              sort=sort)
         return sp, t_best, slot, u, v, done, t_ub
 
     def leaf_fn(args):
@@ -342,7 +373,8 @@ def _init_state4(t0):
 
 def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
                     ox, oy, oz, dx, dy, dz, t0, root_enc: float,
-                    any_hit: bool, width: int = 4):
+                    any_hit: bool, width: int = 4, vred_ref=None,
+                    sort: bool = True):
     """Tile-synchronous 4-wide traversal (see module docstring).  Same return
     contract as pallas_bvh._traverse_vmem: (t_best, slot, u, v)."""
     rv = _rayvars(ox, oy, oz, dx, dy, dz, t0)
@@ -356,14 +388,15 @@ def _traverse4_vmem(stack_ref, tstack_ref, nodes4_ref, tris_ref,
 
     def body(c):
         return _pop_step4(stack_ref, tstack_ref, nodes4_ref, tris_ref, rv, c,
-                          any_hit, width)
+                          any_hit, width, vred_ref=vred_ref, sort=sort)
 
     out = jax.lax.while_loop(cond, body, _init_state4(t0))
     return out[1], out[2], out[3], out[4]
 
 
 def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
-                       root_enc: float, any_hit: bool, width: int = 4):
+                       root_enc: float, any_hit: bool, width: int = 4,
+                       pop: str = "base"):
     """Interleaved multi-stack traversal: N INDEPENDENT sub-tiles walk the
     tree in one fused while-loop, one pop each per iteration.
 
@@ -376,6 +409,9 @@ def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
     affordable, since their extra pops ride in the hidden scalar slots.
     Returns a list of (t, slot, u, v) per sub-tile."""
     nway = len(rvs_list)
+    batched = "batched" in pop
+    sort = "nosort" not in pop
+    vreds = stacks[2 * nway:] if batched else [None] * nway
     for k in range(nway):
         stacks[2 * k][0] = jnp.float32(root_enc)
         stacks[2 * k + 1][0] = jnp.float32(-_BIG)
@@ -390,7 +426,8 @@ def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
     def body(states):
         return tuple(
             _pop_step4(stacks[2 * k], stacks[2 * k + 1], nodes4_ref,
-                       tris_ref, rvs_list[k], states[k], any_hit, width)
+                       tris_ref, rvs_list[k], states[k], any_hit, width,
+                       vred_ref=vreds[k], sort=sort)
             for k in range(nway)
         )
 
@@ -401,12 +438,15 @@ def _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs_list,
 
 def _bvh4_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
-                 u_ref, v_ref, stack_ref, tstack_ref,
-                 *, root_enc: float, any_hit: bool, width: int = 4):
+                 u_ref, v_ref, *scratch, root_enc: float, any_hit: bool,
+                 width: int = 4, pop: str = "base"):
+    stack_ref, tstack_ref = scratch[0], scratch[1]
+    vred_ref = scratch[2] if "batched" in pop else None
     t_best, slot, u, v = _traverse4_vmem(
         stack_ref, tstack_ref, nodes4_ref, tris_ref,
         ox_ref[0], oy_ref[0], oz_ref[0], dx_ref[0], dy_ref[0], dz_ref[0],
         tmax_ref[0], root_enc, any_hit=any_hit, width=width,
+        vred_ref=vred_ref, sort="nosort" not in pop,
     )
     t_ref[0] = t_best
     slot_ref[0] = slot
@@ -422,16 +462,16 @@ def _split_rows(a, nway):
 def _bvh4_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, nodes4_ref, tris_ref, t_ref, slot_ref,
                     u_ref, v_ref, *stacks, root_enc: float, any_hit: bool,
-                    width: int = 4):
+                    width: int = 4, pop: str = "base"):
     """Interleaved variant: the tile's row bands traverse as N independent
     stacks in one fused loop (see _traverse4_vmem_xn)."""
-    nway = len(stacks) // 2
+    nway = len(stacks) // (3 if "batched" in pop else 2)
     parts = [_split_rows(r[0], nway)
              for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     outs = _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs,
-                              root_enc, any_hit, width)
+                              root_enc, any_hit, width, pop=pop)
     t_ref[0] = jnp.concatenate([o[0] for o in outs], axis=0)
     slot_ref[0] = jnp.concatenate([o[1] for o in outs], axis=0)
     u_ref[0] = jnp.concatenate([o[2] for o in outs], axis=0)
@@ -442,16 +482,17 @@ def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                            tmax_ref, nodes4_ref, tris_ref, lights_ref,
                            t_ref, slot_ref, u_ref, v_ref, shadow_ref,
                            *stacks, root_enc: float, num_lights: int,
-                           width: int = 4):
+                           width: int = 4, pop: str = "base"):
     """Interleaved fused bounce: closest-hit then per-light shadow any-hit,
     each as an N-stack interleaved walk over the tile's row bands."""
-    nway = len(stacks) // 2
+    nway = len(stacks) // (3 if "batched" in pop else 2)
     parts = [_split_rows(r[0], nway)
              for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     closest = _traverse4_vmem_xn(stacks, nodes4_ref, tris_ref, rvs,
-                                 root_enc, any_hit=False, width=width)
+                                 root_enc, any_hit=False, width=width,
+                                 pop=pop)
 
     hits = [sl >= 0 for (_, sl, _, _) in closest]
     pos = []
@@ -479,7 +520,7 @@ def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         shadow = _traverse4_vmem_xn(
             stacks, nodes4_ref, tris_ref,
             [shadow_rv(*pos[k], hits[k]) for k in range(nway)],
-            root_enc, any_hit=True, width=width)
+            root_enc, any_hit=True, width=width, pop=pop)
         for k in range(nway):
             bits[k] = bits[k] | ((shadow[k][1] >= 0).astype(jnp.int32) << li)
 
@@ -493,17 +534,20 @@ def _bvh4_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, nodes4_ref, tris_ref, lights_ref,
                         t_ref, slot_ref, u_ref, v_ref, shadow_ref,
-                        stack_ref, tstack_ref,
-                        *, root_enc: float, num_lights: int,
-                        width: int = 4):
+                        *scratch, root_enc: float, num_lights: int,
+                        width: int = 4, pop: str = "base"):
     """Fused bounce (closest + per-point-light shadow any-hit) over the 4-wide
     tree; same contract as pallas_bvh._bvh_bounce_kernel."""
+    stack_ref, tstack_ref = scratch[0], scratch[1]
+    vred_ref = scratch[2] if "batched" in pop else None
+    sort = "nosort" not in pop
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
 
     t_best, slot, u, v = _traverse4_vmem(
         stack_ref, tstack_ref, nodes4_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         tmax_ref[0], root_enc, any_hit=False, width=width,
+        vred_ref=vred_ref, sort=sort,
     )
 
     hit = slot >= 0
@@ -528,7 +572,7 @@ def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         _, slot_s, _, _ = _traverse4_vmem(
             stack_ref, tstack_ref, nodes4_ref, tris_ref,
             sox, soy, soz, sdx, sdy, sdz, tmax_l, root_enc, any_hit=True,
-            width=width,
+            width=width, vred_ref=vred_ref, sort=sort,
         )
         shadow_bits = shadow_bits | ((slot_s >= 0).astype(jnp.int32) << li)
 
@@ -539,20 +583,26 @@ def _bvh4_bounce_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = shadow_bits
 
 
-def _stack_scratch(interleave: int):
-    return [pltpu.SMEM((MAX_STACK,), jnp.float32)
-            for _ in range(2 * interleave)]
+def _stack_scratch(interleave: int, pop: str = "base"):
+    scratch = [pltpu.SMEM((MAX_STACK,), jnp.float32)
+               for _ in range(2 * interleave)]
+    if "batched" in pop:
+        # One [8, 128] VMEM reduction buffer per band (see _internal_pushes).
+        scratch += [pltpu.VMEM((8, RAY_COLS), jnp.float32)
+                    for _ in range(interleave)]
+    return scratch
 
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "any_hit", "interpret",
-                                    "interleave", "width"))
+                                    "interleave", "width", "pop"))
 def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
-               any_hit=False, interpret=False, interleave=1, width=4):
+               any_hit=False, interpret=False, interleave=1, width=4,
+               pop="base"):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     base = _bvh4_kernel if interleave == 1 else _bvh4_kernel_xn
     kernel = functools.partial(base, root_enc=root_enc, any_hit=any_hit,
-                               width=width)
+                               width=width, pop=pop)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -570,13 +620,13 @@ def _bvh4_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
         ],
         out_specs=[ray_spec() for _ in range(4)],
         out_shape=out_shape,
-        scratch_shapes=_stack_scratch(interleave),
+        scratch_shapes=_stack_scratch(interleave, pop),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows)
 
 
 def _run4(packed: PackedBVH4, origins, dirs, t_max, any_hit, interpret,
-          tile_rows: int = RAY_ROWS, interleave: int = 1):
+          tile_rows: int = RAY_ROWS, interleave: int = 1, pop: str = "base"):
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
@@ -589,19 +639,21 @@ def _run4(packed: PackedBVH4, origins, dirs, t_max, any_hit, interpret,
     t, slot, u, v = _bvh4_call(rays, tm_tiles, packed.nodes4, packed.tri_rows,
                                packed.root_enc, any_hit=any_hit,
                                interpret=interpret, interleave=interleave,
-                               width=packed.width)
+                               width=packed.width, pop=pop)
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(slot), flat(u), flat(v), n
 
 
 def intersect_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
                           t_max=None, interpret: bool | None = None,
-                          tile_rows: int = RAY_ROWS, interleave: int = 1) -> Hit:
+                          tile_rows: int = RAY_ROWS, interleave: int = 1,
+                          pop: str = "base") -> Hit:
     """Closest-hit through the 4-wide kernel (+ jnp sphere tail)."""
     if interpret is None:
         interpret = _default_interpret()
     t, slot, u, v, n = _run4(packed, origins, dirs, t_max, False, interpret,
-                             tile_rows=tile_rows, interleave=interleave)
+                             tile_rows=tile_rows, interleave=interleave,
+                             pop=pop)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)
     best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
     return _sphere_merge(scene, origins, dirs, best)
@@ -609,14 +661,16 @@ def intersect_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
 
 def occluded_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs, t_max,
                          interpret: bool | None = None,
-                         tile_rows: int = RAY_ROWS, interleave: int = 1):
+                         tile_rows: int = RAY_ROWS, interleave: int = 1,
+                         pop: str = "base"):
     """Any-hit through the 4-wide kernel."""
     if interpret is None:
         interpret = _default_interpret()
     from .intersect import intersect_spheres_one
 
     t, slot, _, _, n = _run4(packed, origins, dirs, t_max, True, interpret,
-                             tile_rows=tile_rows, interleave=interleave)
+                             tile_rows=tile_rows, interleave=interleave,
+                             pop=pop)
     blocked = slot >= 0
     num_spheres = scene.spheres.radius.shape[0]
     if num_spheres > 0:
@@ -630,14 +684,18 @@ def occluded_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs, t_max,
 
 
 @functools.partial(jax.jit, static_argnames=("root_enc", "interpret",
-                                             "interleave", "width"))
+                                             "interleave", "width",
+                                             "num_lights", "pop"))
 def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
-                      interpret=False, interleave=1, width=4):
+                      interpret=False, interleave=1, width=4,
+                      num_lights=None, pop="base"):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    if num_lights is None:
+        num_lights = lights.shape[0]
     base = (_bvh4_bounce_kernel if interleave == 1
             else _bvh4_bounce_kernel_xn)
     kernel = functools.partial(base, root_enc=root_enc,
-                               num_lights=lights.shape[0], width=width)
+                               num_lights=num_lights, width=width, pop=pop)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -657,7 +715,7 @@ def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
         ],
         out_specs=[ray_spec() for _ in range(5)],
         out_shape=out_shape,
-        scratch_shapes=_stack_scratch(interleave),
+        scratch_shapes=_stack_scratch(interleave, pop),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows, lights)
 
@@ -1194,13 +1252,15 @@ def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "leaf_rows", "interpret",
-                                    "interleave", "width"))
+                                    "interleave", "width", "num_lights"))
 def _bvh4_hbm_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights,
                           root_enc, leaf_rows=4, interpret=False,
-                          interleave=1, width=4):
+                          interleave=1, width=4, num_lights=None):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
+    if num_lights is None:
+        num_lights = lights.shape[0]
     kernel = functools.partial(_bvh4_hbm_bounce_kernel_xn, root_enc=root_enc,
-                               num_lights=lights.shape[0],
+                               num_lights=num_lights,
                                leaf_rows=leaf_rows, interleave=interleave,
                                width=width)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
@@ -1288,10 +1348,13 @@ def occluded_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
 
 
 def supports_fused_bounce_bvh4_hbm(scene: Scene) -> bool:
+    num_pl = scene.point_lights.position.shape[0]
+    num_sph = scene.spherical_lights.position.shape[0]
     return (
         supports_pallas_bvh4_hbm(scene)
         and scene.spheres.radius.shape[0] == 0
-        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+        and num_pl <= MAX_FUSED_LIGHTS
+        and 0 < num_pl + num_sph
     )
 
 
@@ -1313,11 +1376,13 @@ def bounce_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n),
                        constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
-    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    from .pallas_kernels import _light_table
+
+    lights, num_lights = _light_table(scene)
     t, slot, u, v, bits = _bvh4_hbm_bounce_call(
         rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
         packed.root_enc, leaf_rows=packed.leaf_rows, interpret=interpret,
-        interleave=interleave, width=packed.width)
+        interleave=interleave, width=packed.width, num_lights=num_lights)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)],
@@ -1329,17 +1394,20 @@ def bounce_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
 def supports_fused_bounce_bvh4(scene: Scene) -> bool:
     from .pallas_bvh import supports_pallas_bvh
 
+    num_pl = scene.point_lights.position.shape[0]
+    num_sph = scene.spherical_lights.position.shape[0]
     return (
         supports_pallas_bvh(scene)
         and scene.spheres.radius.shape[0] == 0
-        and 0 < scene.point_lights.position.shape[0] <= MAX_FUSED_LIGHTS
+        and num_pl <= MAX_FUSED_LIGHTS
+        and 0 < num_pl + num_sph
     )
 
 
 def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
                        interpret: bool | None = None,
                        tile_rows: int = RAY_ROWS, live=None,
-                       interleave: int = 1):
+                       interleave: int = 1, pop: str = "base"):
     """Fused closest-hit + per-point-light shadow query over the 4-wide tree.
     Same (Hit, shadow_bits) contract as pallas_bvh.bounce_pallas_bvh."""
     if interpret is None:
@@ -1353,11 +1421,13 @@ def bounce_pallas_bvh4(scene: Scene, packed: PackedBVH4, origins, dirs,
         tm = jnp.where(jax.lax.stop_gradient(live), jnp.inf, -1.0)
     tm_tiles = jnp.pad(tm, (0, g * tile_rows * RAY_COLS - n), constant_values=-1.0)
     tm_tiles = tm_tiles.reshape(g, tile_rows, RAY_COLS)
-    lights = jax.lax.stop_gradient(scene.point_lights.position)
+    from .pallas_kernels import _light_table
+
+    lights, num_lights = _light_table(scene)
     t, slot, u, v, bits = _bvh4_bounce_call(
         rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
         packed.root_enc, interpret=interpret, interleave=interleave,
-        width=packed.width)
+        width=packed.width, num_lights=num_lights, pop=pop)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)], MISS)

@@ -177,6 +177,30 @@ class RenderConfig:
             n //= 2
         return n
 
+    # Internal-pop structure for the wide VMEM kernels (round 5, VERDICT r4
+    # item 1 — 85% of mesh frame time is per-event serialization):
+    # 'base' = width separate full-tile reduce->scalar crossings + the
+    # compare-exchange push ordering; 'batched' = per-child sublane partials
+    # stacked through ONE [8,128] lane-reduce + ONE vector->VMEM store, the
+    # scalar unit reads the width results back with plain loads;
+    # 'nosort'/'batched_nosort' additionally drop the ordering network
+    # (static reverse push order; the pop-time staleness bound absorbs
+    # mis-ordering at the cost of extra pops).  'auto' = measured best
+    # (scripts/tpu_r5a.py pop_ab).
+    bvh_pop: str = "auto"
+
+    def resolve_bvh_pop(self) -> str:
+        if self.bvh_pop not in ("auto", "base", "batched", "nosort",
+                                "batched_nosort"):
+            raise ValueError(
+                f"bvh_pop must be 'auto' | 'base' | 'batched' | 'nosort' | "
+                f"'batched_nosort', got {self.bvh_pop!r}")
+        if self.bvh_pop != "auto":
+            return self.bvh_pop
+        # 'auto' = 'base' until the round-5 TPU A/B (scripts/tpu_r5a.py)
+        # shows a variant winning.
+        return "base"
+
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
     # 'sah' (binned surface-area heuristic — tighter boxes shrink the node
     # union a tile-synchronous ray tile must visit).  'auto' currently means

@@ -40,9 +40,24 @@ def test_supports_gate(cornell):
     assert supports_shade_kernel(cornell)
     # 968 tris: eligible since round 4 via the pregathered-fields variant.
     assert supports_shade_kernel(cgrt.load_scene("monkey"))
-    assert not supports_shade_kernel(cgrt.load_scene("spheres"))
-    assert not supports_shade_kernel(
+    # Round 5: sphere primitives and spherical lights are in-kernel now
+    # (VERDICT r4 missing #1 / item 6).
+    assert supports_shade_kernel(cgrt.load_scene("spheres"))
+    assert supports_shade_kernel(
         cgrt.load_scene("cornell_box_spherical_light"))
+    assert supports_shade_kernel(cgrt.load_scene("monkey_spherical_light"))
+    # >8 spheres overflows the row-3 cotangent lane packing.
+    sp = cgrt.load_scene("spheres").spheres
+    many_sp = _many = dataclasses.replace(
+        cgrt.load_scene("spheres"),
+        spheres=dataclasses.replace(
+            sp,
+            center=jnp.tile(sp.center[:1], (9, 1)),
+            radius=jnp.tile(sp.radius[:1], (9,)),
+            kd=jnp.tile(sp.kd[:1], (9, 1)),
+            ks=jnp.tile(sp.ks[:1], (9, 1)),
+            shininess=jnp.tile(sp.shininess[:1], (9,))))
+    assert not supports_shade_kernel(many_sp)
     # Light cap is 16, not MAX_FUSED_LIGHTS: the backward packs per-light
     # cotangents into lanes li*8+c of one 128-lane row (ADVICE r3).
     import dataclasses as _dc
@@ -368,3 +383,193 @@ def test_resolve_fwd_shade_kernel_gate():
     cfg = cgrt.RenderConfig(width=8, height=8, forward_only=True,
                             fwd_shade_kernel="off")
     assert resolve_fwd_shade_kernel(s, cfg).fwd_shade_kernel == "off"
+
+
+# ---------------------------------------------------------------------------
+# Round 5: spherical-light scenes in the two-phase / fused-kernel structure
+# (VERDICT r4 missing #1).  Phase 1 records visibility fractions
+# (shading.spherical_fracs, an oracle); the kernel shades them as discrete
+# inputs scaling the differentiable Phong terms (main.cpp:166-218).
+# ---------------------------------------------------------------------------
+
+
+def _sph_cfgs(backend="pallas", **kw):
+    base = cgrt.RenderConfig(width=24, height=24, backend=backend,
+                             soft_shadow_samples=10, soft_shadow_chunk=5, **kw)
+    return base, dataclasses.replace(base, grad_two_phase="on",
+                                     shade_kernel="on")
+
+
+@pytest.mark.parametrize("preset", ["cornell_box_spherical_light",
+                                    "monkey_spherical_light"])
+def test_spherical_two_phase_kernel_matches_one_phase(preset):
+    """Select-gather (cornell, 32 tris) and pregathered (monkey, 968 tris)
+    kernels both cover spherical-light scenes: images and material + spherical
+    light + vertex grads match the one-phase XLA chain."""
+    scene = cgrt.load_scene(preset)
+    cam = cgrt.Camera.default()
+    cfg1, cfgk = _sph_cfgs()
+    img1 = cgrt.render(scene, cam, cfg1, jit=False)
+    imgk = cgrt.render(scene, cam, cfgk, jit=False)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(imgk), atol=1e-5)
+
+    # Vertex grads only on the accel-free brute route: differentiating
+    # vertices through render() with a host-rebuilt accel is not the
+    # supported pattern (optimize() passes a prebuilt accel + refit plan).
+    diff_verts = scene.num_triangles <= 256
+
+    def loss(kd, lp, lc, v, cfg):
+        mats = dataclasses.replace(scene.materials, kd=kd)
+        sl = dataclasses.replace(scene.spherical_lights, position=lp, color=lc)
+        s = dataclasses.replace(scene, materials=mats, spherical_lights=sl,
+                                vertices=v)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False) ** 2)
+
+    args = (scene.materials.kd, scene.spherical_lights.position,
+            scene.spherical_lights.color, scene.vertices)
+    argnums = (0, 1, 2, 3) if diff_verts else (0, 1, 2)
+    g1 = jax.grad(loss, argnums=argnums)(*args, cfg1)
+    gk = jax.grad(loss, argnums=argnums)(*args, cfgk)
+    for a, b in zip(g1, gk):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=3e-5)
+
+
+def test_spherical_two_phase_xla_fallback_bitwise():
+    """Without the kernel, the two-phase restructure is a pure partial-eval
+    move for spherical scenes too: bitwise-identical images and grads."""
+    scene = cgrt.load_scene("cornell_box_spherical_light")
+    cam = cgrt.Camera.default()
+    base = cgrt.RenderConfig(width=24, height=24, backend="pallas",
+                             soft_shadow_samples=10, soft_shadow_chunk=5)
+    cfg2 = dataclasses.replace(base, grad_two_phase="on", shade_kernel="off")
+    img1 = cgrt.render(scene, cam, base, jit=False)
+    img2 = cgrt.render(scene, cam, cfg2, jit=False)
+    assert float(jnp.abs(img1 - img2).max()) == 0.0
+
+    def loss(kd, cfg):
+        mats = dataclasses.replace(scene.materials, kd=kd)
+        s = dataclasses.replace(scene, materials=mats)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False) ** 2)
+
+    g1 = jax.grad(loss)(scene.materials.kd, base)
+    g2 = jax.grad(loss)(scene.materials.kd, cfg2)
+    assert float(jnp.abs(g1 - g2).max()) == 0.0
+
+
+def test_spherical_fracs_zero_cotangent_and_radius_contract():
+    """The visibility fraction is an oracle: no gradient flows through it —
+    in particular d/d(radius) is exactly zero on both paths (the radius only
+    shapes the sampled visibility, never the shading; main.cpp:174 uses the
+    light CENTER for the Phong terms)."""
+    scene = cgrt.load_scene("cornell_box_spherical_light")
+    cam = cgrt.Camera.default()
+    cfg1, cfgk = _sph_cfgs()
+
+    def loss(rad, cfg):
+        sl = dataclasses.replace(scene.spherical_lights, radius=rad)
+        s = dataclasses.replace(scene, spherical_lights=sl)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False) ** 2)
+
+    g1 = jax.grad(loss)(scene.spherical_lights.radius, cfg1)
+    gk = jax.grad(loss)(scene.spherical_lights.radius, cfgk)
+    assert float(jnp.abs(g1).max()) == 0.0
+    assert float(jnp.abs(gk).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round 5: sphere primitives in the fused shade chain (VERDICT r4 item 6).
+# Sphere hits arrive in the prim-id convention (T + s); the kernel recomputes
+# the quadratic in-kernel (ray_tracing.cpp:118-158) and the synthesized
+# bounce (whitted._synth_bounce) provides records where the fused kernels
+# can't (their in-kernel shadow sweeps don't test spheres).
+# ---------------------------------------------------------------------------
+
+
+def test_spheres_supported_by_shade_kernel_gate():
+    from cg_raytracer_tpu.ops.pallas_shade import supports_shade_kernel
+
+    assert supports_shade_kernel(cgrt.load_scene("spheres"))
+
+
+def test_spheres_two_phase_kernel_matches_one_phase():
+    scene = cgrt.load_scene("spheres")
+    cam = cgrt.Camera.default()
+    base = cgrt.RenderConfig(width=32, height=32, backend="brute")
+    cfgk = dataclasses.replace(base, grad_two_phase="on", shade_kernel="on")
+    img1 = np.asarray(cgrt.render(scene, cam, base, jit=False))
+    imgk = np.asarray(cgrt.render(scene, cam, cfgk, jit=False))
+    # Specular pow amplifies ulp differences; bound relative error.
+    np.testing.assert_allclose(imgk, img1, atol=2e-3, rtol=1e-3)
+
+    def loss(center, radius, kd, lp, cfg):
+        sp = dataclasses.replace(scene.spheres, center=center, radius=radius,
+                                 kd=kd)
+        pl = dataclasses.replace(scene.point_lights, position=lp)
+        s = dataclasses.replace(scene, spheres=sp, point_lights=pl)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False) ** 2)
+
+    args = (scene.spheres.center, scene.spheres.radius, scene.spheres.kd,
+            scene.point_lights.position)
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(*args, base)
+    gk = jax.grad(loss, argnums=(0, 1, 2, 3))(*args, cfgk)
+    for a, b in zip(g1, gk):
+        assert not bool(jnp.isnan(a).any()) and not bool(jnp.isnan(b).any())
+        scale = float(jnp.abs(a).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-3)
+
+
+def test_sphere_center_radius_grads_not_nan():
+    """Latent pre-round-5 bug: reconstruct_hit's sphere branch took
+    sqrt(max(disc, 0)) whose VJP is inf at disc <= 0 — every non-sphere lane
+    evaluates it on a clipped sphere id, so center/radius grads were NaN on
+    any scene with spheres.  Now disc-gated (the det_safe pattern)."""
+    scene = cgrt.load_scene("spheres")
+    cam = cgrt.Camera.default()
+    cfg = cgrt.RenderConfig(width=16, height=16, backend="brute")
+
+    def loss(center, radius):
+        sp = dataclasses.replace(scene.spheres, center=center, radius=radius)
+        s = dataclasses.replace(scene, spheres=sp)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False))
+
+    gc, gr = jax.grad(loss, argnums=(0, 1))(scene.spheres.center,
+                                            scene.spheres.radius)
+    assert not bool(jnp.isnan(gc).any())
+    assert not bool(jnp.isnan(gr).any())
+    assert float(jnp.abs(gc).max()) > 0.0
+
+
+def test_record_trace_emits_real_uv_and_record_surface_matches(cornell):
+    """Round 5 (VERDICT r4 item 4): the record-trace megakernel emits the
+    kernel's real u/v (the r3 placeholder contract deviation is closed), and
+    record_surface reproduces reconstruct_hit's position/normal/ks from the
+    recorded (t, u, v) without a Möller–Trumbore recompute."""
+    from cg_raytracer_tpu.ops.intersect import record_surface
+
+    cfg = cgrt.RenderConfig(width=24, height=24, backend="pallas")
+    be = make_backend(cornell, cfg)
+    assert be.record_trace is not None
+    o, d = cam_ops.generate_rays(cgrt.Camera.default(), 24, 24)
+    records = be.record_trace(o, d)
+    for o_l, d_l, hit, bits, active in records:
+        valid = np.asarray(hit.prim_id) >= 0
+        if valid.any():
+            u = np.asarray(hit.u)[valid]
+            v = np.asarray(hit.v)[valid]
+            assert (np.abs(u) + np.abs(v)).max() > 0.0  # not placeholders
+        surf_ref = reconstruct_hit(cornell, o_l, d_l, hit)
+        surf_rec = record_surface(cornell, o_l, d_l, hit)
+        np.testing.assert_array_equal(np.asarray(surf_rec.valid),
+                                      np.asarray(surf_ref.valid))
+        np.testing.assert_allclose(np.asarray(surf_rec.position),
+                                   np.asarray(surf_ref.position),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(surf_rec.normal),
+                                   np.asarray(surf_ref.normal),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(surf_rec.ks),
+                                   np.asarray(surf_ref.ks),
+                                   rtol=1e-6, atol=1e-6)
