@@ -215,16 +215,19 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
 
             hrows = cfg.resolve_bvh_tile_rows(hbm=True)
             il = cfg.resolve_bvh_interleave(hbm=True)
+            pop = cfg.resolve_bvh_pop()
             bounce = None
             if supports_fused_bounce_bvh4_hbm(scene):
                 bounce = lambda o, d, live=None: bounce_pallas_bvh4_hbm(
                     scene, hbm4, o, d, tile_rows=hrows, live=live,
-                    interleave=il)
+                    interleave=il, pop=pop)
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4_hbm(
-                    scene, hbm4, o, d, tile_rows=hrows, interleave=il),
+                    scene, hbm4, o, d, tile_rows=hrows, interleave=il,
+                    pop=pop),
                 occluded=lambda o, d, tm: occluded_pallas_bvh4_hbm(
-                    scene, hbm4, o, d, tm, tile_rows=hrows, interleave=il),
+                    scene, hbm4, o, d, tm, tile_rows=hrows, interleave=il,
+                    pop=pop),
                 bounce=bounce,
             )
 
@@ -298,7 +301,8 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                 ns = cfg.soft_shadow_samples
                 soft_vis = (lambda lpos, lrad, pos, k:
                             soft_shadow_counts_pallas_bvh4_cone(
-                                scene, soft_tree, pos, lpos, lrad, k, ns))
+                                scene, soft_tree, pos, lpos, lrad, k, ns,
+                                pop=pop))
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4(
                     scene, packed4, o, d, tile_rows=rows, interleave=il,

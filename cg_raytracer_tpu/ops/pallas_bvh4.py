@@ -731,8 +731,10 @@ def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
 
 def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
                             nodes4_ref, tris_ref, light_ref, cnt_ref,
-                            stack_ref, tstack_ref,
-                            *, num_samples, rows, root_enc, width=4):
+                            *scratch, num_samples, rows, root_enc, width=4,
+                            pop="base"):
+    stack_ref, tstack_ref = scratch[0], scratch[1]
+    vred_ref = scratch[2] if "batched" in pop else None
     pltpu.prng_seed(seed_ref[0],
                     seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
     shape = (rows, RAY_COLS)
@@ -757,7 +759,7 @@ def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
         _, slot, _, _ = _traverse4_vmem(
             stack_ref, tstack_ref, nodes4_ref, tris_ref,
             sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True,
-            width=width)
+            width=width, vred_ref=vred_ref, sort="nosort" not in pop)
         cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
     total = jnp.sum(cnt, axis=0, keepdims=True)  # (1, 128) per-pixel counts
     cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
@@ -765,9 +767,11 @@ def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
 
 def _soft4_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
                              nodes4_ref, tris_ref, light_ref, cnt_ref,
-                             stack_ref, tstack_ref,
-                             *, num_samples, rows, root_enc, width=4):
+                             *scratch, num_samples, rows, root_enc, width=4,
+                             pop="base"):
     """Table variant (CPU interpret tests): precomputed Gaussians."""
+    stack_ref, tstack_ref = scratch[0], scratch[1]
+    vred_ref = scratch[2] if "batched" in pop else None
     shape = (rows, RAY_COLS)
     bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
     px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
@@ -788,7 +792,7 @@ def _soft4_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
         _, slot, _, _ = _traverse4_vmem(
             stack_ref, tstack_ref, nodes4_ref, tris_ref,
             sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True,
-            width=width)
+            width=width, vred_ref=vred_ref, sort="nosort" not in pop)
         cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
     total = jnp.sum(cnt, axis=0, keepdims=True)
     cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
@@ -801,14 +805,14 @@ def _pix_spec4():
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "rows",
                                              "root_enc", "interpret",
-                                             "width"))
+                                             "width", "pop"))
 def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
                           num_samples, rows, root_enc, interpret=False,
-                          width=4):
+                          width=4, pop="base"):
     g = pix4[0].shape[0]
     kernel = functools.partial(_soft4_cone_prng_kernel,
                                num_samples=num_samples, rows=rows,
-                               root_enc=root_enc, width=width)
+                               root_enc=root_enc, width=width, pop=pop)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -820,22 +824,22 @@ def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
         ],
         out_specs=_pix_spec4(),
         out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
-        scratch_shapes=_stack_scratch(1),
+        scratch_shapes=_stack_scratch(1, pop),
         interpret=interpret,
     )(seeds, *pix4, nodes4, tri_rows, light_row)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "rows",
                                              "root_enc", "interpret",
-                                             "width"))
+                                             "width", "pop"))
 def _soft4_cone_table_call(pix4, light_row, gauss, nodes4, tri_rows,
                            num_samples, rows, root_enc, interpret=True,
-                           width=4):
+                           width=4, pop="base"):
     g = pix4[0].shape[0]
     passes = gauss.shape[1]
     kernel = functools.partial(_soft4_cone_table_kernel,
                                num_samples=num_samples, rows=rows,
-                               root_enc=root_enc, width=width)
+                               root_enc=root_enc, width=width, pop=pop)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -849,7 +853,7 @@ def _soft4_cone_table_call(pix4, light_row, gauss, nodes4, tri_rows,
         ],
         out_specs=_pix_spec4(),
         out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
-        scratch_shapes=_stack_scratch(1),
+        scratch_shapes=_stack_scratch(1, pop),
         interpret=interpret,
     )(gauss, *pix4, nodes4, tri_rows, light_row)
 
@@ -859,7 +863,8 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
                                         key, num_samples: int,
                                         interpret: bool | None = None,
                                         gauss=None,
-                                        sample_rows: int | None = None):
+                                        sample_rows: int | None = None,
+                                        pop: str = "base"):
     """Cone-coherent visible-sample counts over the 4-wide tree; same [N]
     float32 contract as pallas_bvh.soft_shadow_counts_pallas_bvh_cone."""
     from .pallas_bvh import (_cone_light_row, _cone_pack_gauss,
@@ -883,7 +888,7 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
                                     packed.nodes4, packed.tri_rows,
                                     num_samples, sample_rows,
                                     packed.root_enc, interpret=False,
-                                    width=packed.width)
+                                    width=packed.width, pop=pop)
     else:
         if gauss.shape[0] != num_samples:
             raise ValueError(
@@ -894,7 +899,7 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
                                      packed.nodes4, packed.tri_rows,
                                      num_samples, sample_rows,
                                      packed.root_enc, interpret=interpret,
-                                     width=packed.width)
+                                     width=packed.width, pop=pop)
     return cnt[:, 0, :].reshape(-1)[:n].astype(jnp.float32)
 
 
@@ -1000,7 +1005,7 @@ def _hbm_state4(t0):
 
 def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
                    dma_sem, rv, state, any_hit: bool, leaf_rows: int,
-                   width: int = 4):
+                   width: int = 4, vred_ref=None, sort: bool = True):
     """One guarded pop of one band's HBM-streaming 4-wide traversal.
 
     Pipeline identical to pallas_bvh._traverse_hbm: one leaf in flight while
@@ -1055,7 +1060,8 @@ def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
         (sp, t_best, slot, u, v, done, t_ub,
          p_valid, p_row, p_rows, p_slot) = args
         sp = _internal_pushes(stack_ref, tstack_ref, nodes4_ref, enc, sp,
-                              t_best, rv, width)
+                              t_best, rv, width, vred_ref=vred_ref,
+                              sort=sort)
         return (sp, t_best, slot, u, v, done, t_ub,
                 p_valid, p_row, p_rows, p_slot)
 
@@ -1103,11 +1109,13 @@ def _pop_step4_hbm(stack_ref, tstack_ref, nodes4_ref, tris_hbm_ref, tri_buf,
 
 def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
                       root_enc: float, any_hit: bool, leaf_rows: int,
-                      width: int = 4):
+                      width: int = 4, vreds=None, sort: bool = True):
     """Interleaved multi-band HBM-streaming traversal: each band owns a
     (stack, tstack, tri_buf, sem) set and walks independently in one fused
     loop.  Returns a list of (t, slot, u, v) per band."""
     nway = len(rvs_list)
+    if vreds is None:
+        vreds = [None] * nway
     for k in range(nway):
         stacks[2 * k][0] = jnp.float32(root_enc)
         stacks[2 * k + 1][0] = jnp.float32(-_BIG)
@@ -1123,7 +1131,8 @@ def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
         return tuple(
             _pop_step4_hbm(stacks[2 * k], stacks[2 * k + 1], nodes4_ref,
                            tris_hbm_ref, bufs[k], sems[k], rvs_list[k],
-                           states[k], any_hit, leaf_rows, width)
+                           states[k], any_hit, leaf_rows, width,
+                           vred_ref=vreds[k], sort=sort)
             for k in range(nway)
         )
 
@@ -1135,17 +1144,22 @@ def _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref, rvs_list,
 def _bvh4_hbm_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, nodes4_ref, tris_hbm_ref, t_ref, slot_ref,
                         u_ref, v_ref, *scratch, root_enc: float, any_hit: bool,
-                        leaf_rows: int, interleave: int, width: int = 4):
+                        leaf_rows: int, interleave: int, width: int = 4,
+                        pop: str = "base"):
     nway = interleave
     stacks = scratch[:2 * nway]
     bufs = scratch[2 * nway:3 * nway]
     sems = scratch[3 * nway:4 * nway]
+    vreds = (scratch[4 * nway:5 * nway] if "batched" in pop
+             else [None] * nway)
+    sort = "nosort" not in pop
     parts = [_split_rows(r[0], nway)
              for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     outs = _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
-                             rvs, root_enc, any_hit, leaf_rows, width)
+                             rvs, root_enc, any_hit, leaf_rows, width,
+                             vreds=vreds, sort=sort)
     t_ref[0] = jnp.concatenate([o[0] for o in outs], axis=0)
     slot_ref[0] = jnp.concatenate([o[1] for o in outs], axis=0)
     u_ref[0] = jnp.concatenate([o[2] for o in outs], axis=0)
@@ -1157,7 +1171,7 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                                t_ref, slot_ref, u_ref, v_ref, shadow_ref,
                                *scratch, root_enc: float, num_lights: int,
                                leaf_rows: int, interleave: int,
-                               width: int = 4):
+                               width: int = 4, pop: str = "base"):
     """Interleaved fused bounce over the HBM-streaming 4-wide tree: closest
     hit then per-light shadow any-hit, sharing each band's scratch (the DMA
     pipeline fully drains between traversals — cond holds until p_valid
@@ -1166,13 +1180,17 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     stacks = scratch[:2 * nway]
     bufs = scratch[2 * nway:3 * nway]
     sems = scratch[3 * nway:4 * nway]
+    vreds = (scratch[4 * nway:5 * nway] if "batched" in pop
+             else [None] * nway)
+    sort = "nosort" not in pop
     parts = [_split_rows(r[0], nway)
              for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref)]
     rvs = [_rayvars(*(p[k] for p in parts)) for k in range(nway)]
     closest = _traverse4_hbm_xn(stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
                                 rvs, root_enc, any_hit=False,
-                                leaf_rows=leaf_rows, width=width)
+                                leaf_rows=leaf_rows, width=width,
+                                vreds=vreds, sort=sort)
 
     hits = [sl >= 0 for (_, sl, _, _) in closest]
     pos = []
@@ -1200,7 +1218,8 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         shadow = _traverse4_hbm_xn(
             stacks, bufs, sems, nodes4_ref, tris_hbm_ref,
             [shadow_rv(*pos[k], hits[k]) for k in range(nway)],
-            root_enc, any_hit=True, leaf_rows=leaf_rows, width=width)
+            root_enc, any_hit=True, leaf_rows=leaf_rows, width=width,
+            vreds=vreds, sort=sort)
         for k in range(nway):
             bits[k] = bits[k] | ((shadow[k][1] >= 0).astype(jnp.int32) << li)
 
@@ -1211,23 +1230,29 @@ def _bvh4_hbm_bounce_kernel_xn(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     shadow_ref[0] = jnp.concatenate(bits, axis=0)
 
 
-def _hbm4_scratch(interleave: int, leaf_rows: int, dtype=jnp.float32):
-    return (_stack_scratch(interleave)
-            + [pltpu.VMEM((2, leaf_rows, 128), dtype)
-               for _ in range(interleave)]
-            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(interleave)])
+def _hbm4_scratch(interleave: int, leaf_rows: int, dtype=jnp.float32,
+                  pop: str = "base"):
+    scratch = (_stack_scratch(interleave)
+               + [pltpu.VMEM((2, leaf_rows, 128), dtype)
+                  for _ in range(interleave)]
+               + [pltpu.SemaphoreType.DMA((2,)) for _ in range(interleave)])
+    if "batched" in pop:
+        scratch += [pltpu.VMEM((8, RAY_COLS), jnp.float32)
+                    for _ in range(interleave)]
+    return scratch
 
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "any_hit", "leaf_rows",
-                                    "interpret", "interleave", "width"))
+                                    "interpret", "interleave", "width",
+                                    "pop"))
 def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
                    any_hit=False, leaf_rows=4, interpret=False, interleave=1,
-                   width=4):
+                   width=4, pop="base"):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     kernel = functools.partial(_bvh4_hbm_kernel_xn, root_enc=root_enc,
                                any_hit=any_hit, leaf_rows=leaf_rows,
-                               interleave=interleave, width=width)
+                               interleave=interleave, width=width, pop=pop)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -1245,24 +1270,27 @@ def _bvh4_hbm_call(rays6, tmax_tiles, nodes4, tri_rows, root_enc,
         ],
         out_specs=[ray_spec() for _ in range(4)],
         out_shape=out_shape,
-        scratch_shapes=_hbm4_scratch(interleave, leaf_rows, tri_rows.dtype),
+        scratch_shapes=_hbm4_scratch(interleave, leaf_rows, tri_rows.dtype,
+                                     pop),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("root_enc", "leaf_rows", "interpret",
-                                    "interleave", "width", "num_lights"))
+                                    "interleave", "width", "num_lights",
+                                    "pop"))
 def _bvh4_hbm_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights,
                           root_enc, leaf_rows=4, interpret=False,
-                          interleave=1, width=4, num_lights=None):
+                          interleave=1, width=4, num_lights=None,
+                          pop="base"):
     g, rows = rays6[0].shape[0], rays6[0].shape[1]
     if num_lights is None:
         num_lights = lights.shape[0]
     kernel = functools.partial(_bvh4_hbm_bounce_kernel_xn, root_enc=root_enc,
                                num_lights=num_lights,
                                leaf_rows=leaf_rows, interleave=interleave,
-                               width=width)
+                               width=width, pop=pop)
     ray_spec = lambda: pl.BlockSpec((1, rows, RAY_COLS), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     out_shape = [
@@ -1282,13 +1310,14 @@ def _bvh4_hbm_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights,
         ],
         out_specs=[ray_spec() for _ in range(5)],
         out_shape=out_shape,
-        scratch_shapes=_hbm4_scratch(interleave, leaf_rows, tri_rows.dtype),
+        scratch_shapes=_hbm4_scratch(interleave, leaf_rows, tri_rows.dtype,
+                                     pop),
         interpret=interpret,
     )(*rays6, tmax_tiles, nodes4, tri_rows, lights)
 
 
 def _run4_hbm(packed: HBMBVH4, origins, dirs, t_max, any_hit, interpret,
-              tile_rows: int, interleave: int):
+              tile_rows: int, interleave: int, pop: str = "base"):
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     rays, n, g = _pack_rays(origins, dirs, rows=tile_rows)
@@ -1305,7 +1334,7 @@ def _run4_hbm(packed: HBMBVH4, origins, dirs, t_max, any_hit, interpret,
                                    any_hit=any_hit,
                                    leaf_rows=packed.leaf_rows,
                                    interpret=interpret, interleave=interleave,
-                                   width=packed.width)
+                                   width=packed.width, pop=pop)
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(slot), flat(u), flat(v), n
 
@@ -1313,12 +1342,12 @@ def _run4_hbm(packed: HBMBVH4, origins, dirs, t_max, any_hit, interpret,
 def intersect_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
                               t_max=None, interpret: bool | None = None,
                               tile_rows: int = RAY_ROWS,
-                              interleave: int = 1) -> Hit:
+                              interleave: int = 1, pop: str = "base") -> Hit:
     """Closest-hit through the HBM-streaming 4-wide kernel (+ jnp spheres)."""
     if interpret is None:
         interpret = _default_interpret()
     t, slot, u, v, n = _run4_hbm(packed, origins, dirs, t_max, False,
-                                 interpret, tile_rows, interleave)
+                                 interpret, tile_rows, interleave, pop=pop)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)],
                      MISS)
     best = Hit(t=jnp.where(slot >= 0, t, jnp.inf), prim_id=prim, u=u, v=v)
@@ -1327,14 +1356,15 @@ def intersect_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
 
 def occluded_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
                              t_max, interpret: bool | None = None,
-                             tile_rows: int = RAY_ROWS, interleave: int = 1):
+                             tile_rows: int = RAY_ROWS, interleave: int = 1,
+                             pop: str = "base"):
     """Any-hit through the HBM-streaming 4-wide kernel."""
     if interpret is None:
         interpret = _default_interpret()
     from .intersect import intersect_spheres_one
 
     t, slot, _, _, n = _run4_hbm(packed, origins, dirs, t_max, True,
-                                 interpret, tile_rows, interleave)
+                                 interpret, tile_rows, interleave, pop=pop)
     blocked = slot >= 0
     num_spheres = scene.spheres.radius.shape[0]
     if num_spheres > 0:
@@ -1361,7 +1391,7 @@ def supports_fused_bounce_bvh4_hbm(scene: Scene) -> bool:
 def bounce_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
                            interpret: bool | None = None,
                            tile_rows: int = RAY_ROWS, live=None,
-                           interleave: int = 1):
+                           interleave: int = 1, pop: str = "base"):
     """Fused closest-hit + per-point-light shadow query, HBM-streaming 4-wide
     variant.  Same (Hit, shadow_bits) contract as bounce_pallas_bvh_hbm."""
     if interpret is None:
@@ -1382,7 +1412,8 @@ def bounce_pallas_bvh4_hbm(scene: Scene, packed: HBMBVH4, origins, dirs,
     t, slot, u, v, bits = _bvh4_hbm_bounce_call(
         rays, tm_tiles, packed.nodes4, packed.tri_rows, lights,
         packed.root_enc, leaf_rows=packed.leaf_rows, interpret=interpret,
-        interleave=interleave, width=packed.width, num_lights=num_lights)
+        interleave=interleave, width=packed.width, num_lights=num_lights,
+        pop=pop)
     flat = lambda a: a.reshape(-1)[:n]
     t, slot, u, v, bits = flat(t), flat(slot), flat(u), flat(v), flat(bits)
     prim = jnp.where(slot >= 0, packed.slot_to_prim[jnp.maximum(slot, 0)],

@@ -13,6 +13,14 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        # XLA:CPU cache entries are AOT executables whose recorded machine
+        # features can mismatch the loading host ("could lead to execution
+        # errors such as SIGILL", cpu_aot_loader.cc) — observed as
+        # intermittent SIGABRTs on reload in this environment.  CPU compiles
+        # are fast anyway; the cache only pays for the TPU remote-compile
+        # tunnel.
+        return
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                   os.path.expanduser("~/.cache/cgrt_xla"))
     os.makedirs(path, exist_ok=True)

@@ -197,9 +197,12 @@ class RenderConfig:
                 f"'batched_nosort', got {self.bvh_pop!r}")
         if self.bvh_pop != "auto":
             return self.bvh_pop
-        # 'auto' = 'base' until the round-5 TPU A/B (scripts/tpu_r5a.py)
-        # shows a variant winning.
-        return "base"
+        # Measured on v5e (scripts/tpu_r5a.py pop_ab, r5_results.jsonl):
+        # 'batched' wins every wide-VMEM scene — teacup 54.85 -> 50.11,
+        # dragon 37.38 -> 34.40, monkey 35.52 -> 34.10 ms (800^2 fwd steady,
+        # within-session A/B), hits bitwise-identical.  'nosort' loses
+        # (unordered pushes buy extra pops: dragon 42.3).
+        return "batched"
 
     # BVH split rule: 'median' (the reference's rule, bvh.cpp:192-207) or
     # 'sah' (binned surface-area heuristic — tighter boxes shrink the node

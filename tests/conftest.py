@@ -19,10 +19,26 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Keep the persistent XLA compilation cache OFF in tests: test_cli drives the
+# real CLI, which calls utils.cache.enable_compilation_cache() and would
+# otherwise turn it on for THIS process — and XLA:CPU cache entries are AOT
+# executables whose recorded machine features mismatch this host ("could lead
+# to execution errors such as SIGILL", cpu_aot_loader), which intermittently
+# SIGABRTs the suite inside compilation_cache.get_executable_and_time.  The
+# cache only pays on TPU (remote-compile tunnel) anyway.
+import tempfile  # noqa: E402
+
+os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="cgrt_test_xla_")
+
 import jax  # noqa: E402
 
 # Runtime platform override beats the axon plugin the sitecustomize registered.
 jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:  # older jax without the flag
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
