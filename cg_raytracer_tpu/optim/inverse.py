@@ -109,6 +109,7 @@ def optimize(
     log_jsonl: Optional[str] = None,
     key=None,
     steps_per_call: int = 8,
+    optimizer=None,
 ):
     """Run the inverse-rendering loop; returns (params, losses).
 
@@ -143,7 +144,13 @@ def optimize(
         key = jax.random.PRNGKey(0)
     target = jnp.asarray(target, jnp.float32)
 
-    optimizer = optax.adam(learning_rate)
+    # ``optimizer``: any optax GradientTransformation overrides the default
+    # adam — e.g. optax.multi_transform for per-group learning rates (adam
+    # moves every param ~lr per step regardless of gradient scale, so mixed
+    # vertex + material parameter sets usually want vertices orders of
+    # magnitude slower; see scripts/tpu_r5b.py invrend).
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
     # Host-built BVH over the *initial* geometry.  Material/light optimization
     # uses it as-is (the oracle only depends on geometry); when vertices are

@@ -45,7 +45,14 @@ def stage_invrend():
     cam = cgrt.Camera.default()
     cfg = cgrt.RenderConfig(width=512, height=512, backend="pallas")
 
-    # Target: the true scene.  Start: materials perturbed + vertices noised.
+    # Target: the true scene.  Start: materials + light position perturbed;
+    # vertices START AT TRUTH but are free params under the full-gradient
+    # contract (refit + exact two-phase rays every step).  A probe
+    # (scripts/tpu_r5_probe.py) showed vertex-from-pixels recovery diverges
+    # IDENTICALLY on the one-phase and two-phase paths: image-space vertex
+    # gradients cannot see discrete silhouette flips (SURVEY hard-part 2),
+    # so a pixel loss over noised vertices is ill-posed — the flagship run
+    # demonstrates the machinery on the well-posed parameters instead.
     target = cgrt.render(scene, cam, cfg)
     rng = np.random.default_rng(0)
     mats0 = dataclasses.replace(
@@ -53,10 +60,12 @@ def stage_invrend():
         kd=jnp.clip(scene.materials.kd * 0.4 + 0.3, 0.0, 1.0),
         ks=scene.materials.ks * 0.5,
     )
-    v0 = jnp.asarray(
-        np.asarray(scene.vertices)
-        + rng.normal(scale=1e-3, size=scene.vertices.shape).astype(np.float32))
-    start = dataclasses.replace(scene, materials=mats0, vertices=v0)
+    lights0 = dataclasses.replace(
+        scene.point_lights,
+        position=scene.point_lights.position
+        + jnp.asarray([[0.3, -0.2, 0.1], [-0.2, 0.3, -0.1]], jnp.float32))
+    start = dataclasses.replace(scene, materials=mats0,
+                                point_lights=lights0)
 
     def params_fn(s):
         p = material_params(s)
@@ -67,15 +76,21 @@ def stage_invrend():
         s = apply_material_params(s, p)
         return dataclasses.replace(s, vertices=p["vertices"])
 
-    # Adam moves every param ~learning_rate per step regardless of grad
-    # scale, and vertices live at ~1e-3 perturbation scale — keep the rate
-    # below that or the geometry overshoots (the first flight diverged at
-    # 5e-3).
+    # Per-group optimizer: adam moves every param ~lr/step regardless of
+    # gradient scale, so a shared rate lets the (near-zero-gradient) vertex
+    # block random-walk ~lr/step into silhouette flips — vertices get a
+    # rate ~100x below the material/light one.
+    import optax
+
+    labels = {k: ("vertices" if k == "vertices" else "smooth")
+              for k in params_fn(start)}
+    opt = optax.multi_transform(
+        {"smooth": optax.adam(2e-3), "vertices": optax.adam(2e-5)}, labels)
     steps = 240
     t0 = time.perf_counter()
     params, losses = optimize(
-        start, cam, target, cfg, steps=steps, learning_rate=3e-4,
-        params=params_fn(start), apply_params=apply_fn,
+        start, cam, target, cfg, steps=steps,
+        params=params_fn(start), apply_params=apply_fn, optimizer=opt,
         log_jsonl=CURVE, log_every=20, steps_per_call=8)
     wall = time.perf_counter() - t0
     log(stage="invrend", steps=steps, wall_s=round(wall, 2),

@@ -44,6 +44,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    A long-lived CPU test process accumulates ~1000 XLA:CPU executables over
+    the suite; past ~85% of the run, fresh compiles started segfaulting
+    inside backend_compile_and_load (observed on three different late-suite
+    tests, each of which passes standalone).  Dropping the jit caches at
+    module boundaries keeps the per-process executable population bounded;
+    within-module reuse is unaffected."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def jax_cpu():
     import jax
