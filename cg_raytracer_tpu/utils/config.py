@@ -343,10 +343,12 @@ class RenderConfig:
     # render()/run_bench via models.whitted.resolve_fwd_shade_kernel — 'on'
     # only when bounce depth >= 2 AND a meaningful fraction of triangles is
     # actually reflective: the kernel chain wins when the XLA chain would
-    # run twice over live rays (teacup 61.2 -> 54.1 ms) and loses when the
-    # second level is dead (dragon 34.0 -> 41.6 — its material table has a
-    # reflective entry no visible triangle uses).  At trace time 'auto'
-    # means 'off'.
+    # run twice over live rays and loses when the second level is dead
+    # (dragon 34.0 -> 41.6 — its material table has a reflective entry no
+    # visible triangle uses).  The round-4 'wash' became a clear win in
+    # round 5 once the record phase consumed recorded (t,u,v) directly
+    # (record_surface): teacup fwd 61.2 -> 46.8 ms at the final autos
+    # (scripts/r5_results.jsonl table2).  At trace time 'auto' means 'off'.
     fwd_shade_kernel: str = "auto"
 
     # Phase-2 ray source for the two-phase structure.  'exact': bounce rays

@@ -165,8 +165,17 @@ def stage_pop3():
                     error=repr(e)[:200])
 
 
+def stage_leaf():
+    """Leaf-width re-check at batched pops: cheaper pops shift the
+    pops-vs-leaf-MT trade toward narrower leaves?"""
+    for scn in ("teacup", "dragon"):
+        for leaf in (56, 28):
+            ms = _fwd(scn, {"pallas_bvh_max_leaf": leaf})
+            log(stage="leaf", scene=scn, leaf=leaf, ms=ms)
+
+
 STAGES = {"pop2": stage_pop2, "table2": stage_table2,
-          "gather3": stage_gather3, "pop3": stage_pop3}
+          "gather3": stage_gather3, "pop3": stage_pop3, "leaf": stage_leaf}
 
 
 def main():
