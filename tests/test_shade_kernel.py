@@ -589,3 +589,77 @@ def test_record_trace_emits_real_uv_and_record_surface_matches(cornell):
         np.testing.assert_allclose(np.asarray(surf_rec.ks),
                                    np.asarray(surf_ref.ks),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_point_and_spherical_lights_two_phase_matches():
+    """Scenes carrying BOTH light kinds: bit-gated point terms and
+    fraction-scaled spherical terms shade in one kernel pass (rows 0 and 2
+    of the cotangent accumulator)."""
+    base_scene = cgrt.load_scene("cornell_box_spherical_light")
+    from cg_raytracer_tpu.scene.types import PointLights
+
+    scene = dataclasses.replace(
+        base_scene,
+        point_lights=PointLights.of(((0.0, 0.58, 0.0), (0.7, 0.7, 0.7))))
+    cam = cgrt.Camera.default()
+    cfg1, cfgk = _sph_cfgs()
+    img1 = cgrt.render(scene, cam, cfg1, jit=False)
+    imgk = cgrt.render(scene, cam, cfgk, jit=False)
+    np.testing.assert_allclose(np.asarray(imgk), np.asarray(img1), atol=1e-5)
+
+    def loss(kd, plp, slp, cfg):
+        mats = dataclasses.replace(scene.materials, kd=kd)
+        pl = dataclasses.replace(scene.point_lights, position=plp)
+        sl = dataclasses.replace(scene.spherical_lights, position=slp)
+        s = dataclasses.replace(scene, materials=mats, point_lights=pl,
+                                spherical_lights=sl)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False) ** 2)
+
+    args = (scene.materials.kd, scene.point_lights.position,
+            scene.spherical_lights.position)
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(*args, cfg1)
+    gk = jax.grad(loss, argnums=(0, 1, 2))(*args, cfgk)
+    for a, b in zip(g1, gk):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=3e-5)
+
+
+def test_mixed_triangles_and_spheres_two_phase_matches():
+    """Triangles + sphere primitives in one scene: sphere hits (prim >= T)
+    override the triangle surface in-kernel; records come from the
+    synthesized bounce (the fused kernels' shadow sweeps don't test
+    spheres)."""
+    from cg_raytracer_tpu.scene.types import Spheres
+
+    tri_scene = cgrt.load_scene("cornell_box")
+    spheres = Spheres(
+        center=jnp.asarray([[0.0, -0.2, 0.2]], jnp.float32),
+        radius=jnp.asarray([0.18], jnp.float32),
+        kd=jnp.asarray([[0.2, 0.4, 0.8]], jnp.float32),
+        ks=jnp.asarray([[0.05, 0.05, 0.05]], jnp.float32),
+        shininess=jnp.asarray([8.0], jnp.float32))
+    scene = dataclasses.replace(tri_scene, spheres=spheres)
+    cam = cgrt.Camera.default()
+    base = cgrt.RenderConfig(width=32, height=32, backend="brute")
+    cfgk = dataclasses.replace(base, grad_two_phase="on", shade_kernel="on")
+    img1 = np.asarray(cgrt.render(scene, cam, base, jit=False))
+    imgk = np.asarray(cgrt.render(scene, cam, cfgk, jit=False))
+    # The sphere must actually be visible for this test to bite.
+    assert np.abs(img1 - cgrt.render(tri_scene, cam, base, jit=False)).max() > 0.05
+    np.testing.assert_allclose(imgk, img1, atol=2e-3, rtol=1e-3)
+
+    def loss(center, kd_tri, cfg):
+        sp = dataclasses.replace(scene.spheres, center=center)
+        mats = dataclasses.replace(scene.materials, kd=kd_tri)
+        s = dataclasses.replace(scene, spheres=sp, materials=mats)
+        return jnp.sum(cgrt.render(s, cam, cfg, jit=False) ** 2)
+
+    args = (scene.spheres.center, scene.materials.kd)
+    g1 = jax.grad(loss, argnums=(0, 1))(*args, base)
+    gk = jax.grad(loss, argnums=(0, 1))(*args, cfgk)
+    for a, b in zip(g1, gk):
+        assert not bool(jnp.isnan(b).any())
+        scale = float(jnp.abs(a).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-3)
