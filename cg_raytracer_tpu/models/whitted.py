@@ -299,10 +299,11 @@ def make_backend(scene: Scene, cfg: RenderConfig, bvh: Optional[BVH] = None) -> 
                         builder=cfg.resolve_soft_bvh_builder())
                 soft_tree = soft_bvh
                 ns = cfg.soft_shadow_samples
+                cil = cfg.resolve_soft_cone_interleave()
                 soft_vis = (lambda lpos, lrad, pos, k:
                             soft_shadow_counts_pallas_bvh4_cone(
                                 scene, soft_tree, pos, lpos, lrad, k, ns,
-                                pop=pop))
+                                pop=pop, interleave=cil))
             return Backend(
                 closest=lambda o, d: intersect_pallas_bvh4(
                     scene, packed4, o, d, tile_rows=rows, interleave=il,

@@ -732,35 +732,45 @@ def _bvh4_bounce_call(rays6, tmax_tiles, nodes4, tri_rows, lights, root_enc,
 def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
                             nodes4_ref, tris_ref, light_ref, cnt_ref,
                             *scratch, num_samples, rows, root_enc, width=4,
-                            pop="base"):
-    stack_ref, tstack_ref = scratch[0], scratch[1]
-    vred_ref = scratch[2] if "batched" in pop else None
+                            pop="base", interleave=1):
+    """interleave > 1 splits each pass's sample rows into independent bands
+    traversing in ONE fused loop (_traverse4_vmem_xn) — the same
+    pop-latency-hiding structure as the primary kernels' row bands; every
+    band shares the 128 pixels but owns its sample batch and stack."""
+    il = interleave
     pltpu.prng_seed(seed_ref[0],
                     seed_ref[1] ^ (pl.program_id(0) * jnp.int32(-1640531527)))
     shape = (rows, RAY_COLS)
-    bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], shape)
+    band = rows // il
+    bshape = (band, RAY_COLS)
+    bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], bshape)
     px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
-    vm = jnp.broadcast_to(vmask_ref[0][0:1, :], shape)
+    vm = jnp.broadcast_to(vmask_ref[0][0:1, :], bshape)
     lrow = light_ref[0]
     lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
 
-    row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, bshape, 0)
     passes = -(-num_samples // rows)
-    cnt = jnp.zeros(shape, jnp.int32)
+    cnt = jnp.zeros(bshape, jnp.int32)
     for p in range(passes):
-        smask = ((row_id + p * rows < num_samples) & (vm > 0)).astype(jnp.int32)
-        b0 = pltpu.prng_random_bits(shape)
-        b1 = pltpu.prng_random_bits(shape)
-        b2 = pltpu.prng_random_bits(shape)
-        b3 = pltpu.prng_random_bits(shape)
-        gx, gy, gz = _gauss3_from_bits(b0, b1, b2, b3)
-        sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
-            px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
-        _, slot, _, _ = _traverse4_vmem(
-            stack_ref, tstack_ref, nodes4_ref, tris_ref,
-            sox, soy, soz, sdx, sdy, sdz, tmax, root_enc, any_hit=True,
-            width=width, vred_ref=vred_ref, sort="nosort" not in pop)
-        cnt = cnt + jnp.where((slot < 0) & (smask > 0), 1, 0)
+        rvs, masks = [], []
+        for k in range(il):
+            off = p * rows + k * band
+            smask = ((row_id + off < num_samples) & (vm > 0)).astype(jnp.int32)
+            b0 = pltpu.prng_random_bits(bshape)
+            b1 = pltpu.prng_random_bits(bshape)
+            b2 = pltpu.prng_random_bits(bshape)
+            b3 = pltpu.prng_random_bits(bshape)
+            gx, gy, gz = _gauss3_from_bits(b0, b1, b2, b3)
+            sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+                px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
+            rvs.append(_rayvars(sox, soy, soz, sdx, sdy, sdz, tmax))
+            masks.append(smask)
+        outs = _traverse4_vmem_xn(list(scratch), nodes4_ref, tris_ref, rvs,
+                                  root_enc, any_hit=True, width=width,
+                                  pop=pop)
+        for k in range(il):
+            cnt = cnt + jnp.where((outs[k][1] < 0) & (masks[k] > 0), 1, 0)
     total = jnp.sum(cnt, axis=0, keepdims=True)  # (1, 128) per-pixel counts
     cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
 
@@ -768,8 +778,44 @@ def _soft4_cone_prng_kernel(seed_ref, px_ref, py_ref, pz_ref, vmask_ref,
 def _soft4_cone_table_kernel(gauss_ref, px_ref, py_ref, pz_ref, vmask_ref,
                              nodes4_ref, tris_ref, light_ref, cnt_ref,
                              *scratch, num_samples, rows, root_enc, width=4,
-                             pop="base"):
-    """Table variant (CPU interpret tests): precomputed Gaussians."""
+                             pop="base", interleave=1):
+    """Table variant (CPU interpret tests): precomputed Gaussians.  Unlike
+    the PRNG variant, interleave here only REGROUPS the same samples into
+    bands, so counts are identical across interleave settings (tested)."""
+    if interleave > 1:
+        il = interleave
+        band = rows // il
+        bshape = (band, RAY_COLS)
+        bro = lambda ref: jnp.broadcast_to(ref[0][0:1, :], bshape)
+        px, py, pz = bro(px_ref), bro(py_ref), bro(pz_ref)
+        vm = jnp.broadcast_to(vmask_ref[0][0:1, :], bshape)
+        lrow = light_ref[0]
+        lx, ly, lz, lr = lrow[0], lrow[1], lrow[2], lrow[3]
+        row_id = jax.lax.broadcasted_iota(jnp.int32, bshape, 0)
+        passes = -(-num_samples // rows)
+        cnt = jnp.zeros(bshape, jnp.int32)
+        for p in range(passes):
+            rvs, masks = [], []
+            for k in range(il):
+                off = p * rows + k * band
+                smask = ((row_id + off < num_samples)
+                         & (vm > 0)).astype(jnp.int32)
+                sl = slice(k * band, (k + 1) * band)
+                gx = gauss_ref[0, p, 0][sl]
+                gy = gauss_ref[0, p, 1][sl]
+                gz = gauss_ref[0, p, 2][sl]
+                sox, soy, soz, sdx, sdy, sdz, tmax = _soft_sample_ray(
+                    px, py, pz, gx, gy, gz, lx, ly, lz, lr, smask)
+                rvs.append(_rayvars(sox, soy, soz, sdx, sdy, sdz, tmax))
+                masks.append(smask)
+            outs = _traverse4_vmem_xn(list(scratch), nodes4_ref, tris_ref,
+                                      rvs, root_enc, any_hit=True,
+                                      width=width, pop=pop)
+            for k in range(il):
+                cnt = cnt + jnp.where((outs[k][1] < 0) & (masks[k] > 0), 1, 0)
+        total = jnp.sum(cnt, axis=0, keepdims=True)
+        cnt_ref[0] = jnp.broadcast_to(total, (8, RAY_COLS))
+        return
     stack_ref, tstack_ref = scratch[0], scratch[1]
     vred_ref = scratch[2] if "batched" in pop else None
     shape = (rows, RAY_COLS)
@@ -805,14 +851,15 @@ def _pix_spec4():
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "rows",
                                              "root_enc", "interpret",
-                                             "width", "pop"))
+                                             "width", "pop", "interleave"))
 def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
                           num_samples, rows, root_enc, interpret=False,
-                          width=4, pop="base"):
+                          width=4, pop="base", interleave=1):
     g = pix4[0].shape[0]
     kernel = functools.partial(_soft4_cone_prng_kernel,
                                num_samples=num_samples, rows=rows,
-                               root_enc=root_enc, width=width, pop=pop)
+                               root_enc=root_enc, width=width, pop=pop,
+                               interleave=interleave)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -824,22 +871,23 @@ def _soft4_cone_prng_call(pix4, light_row, seeds, nodes4, tri_rows,
         ],
         out_specs=_pix_spec4(),
         out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
-        scratch_shapes=_stack_scratch(1, pop),
+        scratch_shapes=_stack_scratch(interleave, pop),
         interpret=interpret,
     )(seeds, *pix4, nodes4, tri_rows, light_row)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "rows",
                                              "root_enc", "interpret",
-                                             "width", "pop"))
+                                             "width", "pop", "interleave"))
 def _soft4_cone_table_call(pix4, light_row, gauss, nodes4, tri_rows,
                            num_samples, rows, root_enc, interpret=True,
-                           width=4, pop="base"):
+                           width=4, pop="base", interleave=1):
     g = pix4[0].shape[0]
     passes = gauss.shape[1]
     kernel = functools.partial(_soft4_cone_table_kernel,
                                num_samples=num_samples, rows=rows,
-                               root_enc=root_enc, width=width, pop=pop)
+                               root_enc=root_enc, width=width, pop=pop,
+                               interleave=interleave)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -853,7 +901,7 @@ def _soft4_cone_table_call(pix4, light_row, gauss, nodes4, tri_rows,
         ],
         out_specs=_pix_spec4(),
         out_shape=jax.ShapeDtypeStruct((g, 8, RAY_COLS), jnp.int32),
-        scratch_shapes=_stack_scratch(1, pop),
+        scratch_shapes=_stack_scratch(interleave, pop),
         interpret=interpret,
     )(gauss, *pix4, nodes4, tri_rows, light_row)
 
@@ -864,7 +912,8 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
                                         interpret: bool | None = None,
                                         gauss=None,
                                         sample_rows: int | None = None,
-                                        pop: str = "base"):
+                                        pop: str = "base",
+                                        interleave: int = 1):
     """Cone-coherent visible-sample counts over the 4-wide tree; same [N]
     float32 contract as pallas_bvh.soft_shadow_counts_pallas_bvh_cone."""
     from .pallas_bvh import (_cone_light_row, _cone_pack_gauss,
@@ -874,7 +923,9 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
     if interpret is None:
         interpret = _default_interpret()
     if sample_rows is None:
-        sample_rows = -(-num_samples // 8) * 8
+        # Bands must stay 8-sublane aligned; round the sample rows up to a
+        # multiple of 8 * interleave (masked tail rows draw but don't count).
+        sample_rows = -(-num_samples // (8 * interleave)) * 8 * interleave
     positions = jax.lax.stop_gradient(positions)
     pix4, n, g, pad = _cone_pack_pixels(positions)
     light_row = _cone_light_row(light_pos, light_radius)
@@ -888,7 +939,8 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
                                     packed.nodes4, packed.tri_rows,
                                     num_samples, sample_rows,
                                     packed.root_enc, interpret=False,
-                                    width=packed.width, pop=pop)
+                                    width=packed.width, pop=pop,
+                                    interleave=interleave)
     else:
         if gauss.shape[0] != num_samples:
             raise ValueError(
@@ -899,7 +951,8 @@ def soft_shadow_counts_pallas_bvh4_cone(scene: Scene, packed: PackedBVH4,
                                      packed.nodes4, packed.tri_rows,
                                      num_samples, sample_rows,
                                      packed.root_enc, interpret=interpret,
-                                     width=packed.width, pop=pop)
+                                     width=packed.width, pop=pop,
+                                     interleave=interleave)
     return cnt[:, 0, :].reshape(-1)[:n].astype(jnp.float32)
 
 

@@ -438,6 +438,27 @@ class RenderConfig:
         # binary cone) — A/B'd properly by scripts/tpu_r3c.py cone_tree.
         return "median"
 
+    # Sample-band interleave for the 4-wide cone soft-shadow sampler: 'N'
+    # splits each pass's sample rows into N independent bands traversing in
+    # one fused loop (the primary kernels' pop-latency-hiding structure,
+    # applied to the sampler).  PRNG draws regroup per band (statistically
+    # equivalent, not bitwise vs il=1; the table variant is bitwise
+    # invariant — tested).  'auto' = measured best (scripts/tpu_r5c.py
+    # cone_il).
+    soft_cone_interleave: str = "auto"
+
+    def resolve_soft_cone_interleave(self) -> int:
+        if self.soft_cone_interleave not in ("auto", "1", "2", "4"):
+            raise ValueError(
+                f"soft_cone_interleave must be 'auto' | '1' | '2' | '4', "
+                f"got {self.soft_cone_interleave!r}")
+        if self.soft_cone_interleave != "auto":
+            return int(self.soft_cone_interleave)
+        # Measured on v5e (scripts/tpu_r5c.py cone_il, r5_results.jsonl):
+        # monkey_spherical 800^2 fwd 579.7 (il1) -> 545.5 (il2); il4 loses
+        # (590.9 — band rows shrink past the divergence/overhead optimum).
+        return 2
+
     def resolve_soft_shadow_tile(self) -> str:
         if self.soft_shadow_tile not in ("auto", "sample", "cone"):
             raise ValueError(

@@ -174,8 +174,31 @@ def stage_leaf():
             log(stage="leaf", scene=scn, leaf=leaf, ms=ms)
 
 
+def stage_w8():
+    """Width-8 re-check at batched pops: the r4 loss was blamed on per-level
+    sort/reduce work scaling with width — the batched reduce collapses the 8
+    reduction crossings to one, which may flip the trade."""
+    for scn in ("teacup", "dragon"):
+        for wide in ("4", "8"):
+            try:
+                ms = _fwd(scn, {"bvh_wide": wide})
+                log(stage="w8", scene=scn, wide=wide, ms=ms)
+            except Exception as e:
+                log(stage="w8", scene=scn, wide=wide, error=repr(e)[:200])
+
+
+def stage_cone_il():
+    for il in ("1", "2", "4"):
+        try:
+            ms = _fwd("monkey_spherical_light", {"soft_cone_interleave": il})
+            log(stage="cone_il", il=il, ms=ms)
+        except Exception as e:
+            log(stage="cone_il", il=il, error=repr(e)[:300])
+
+
 STAGES = {"pop2": stage_pop2, "table2": stage_table2,
-          "gather3": stage_gather3, "pop3": stage_pop3, "leaf": stage_leaf}
+          "gather3": stage_gather3, "pop3": stage_pop3, "leaf": stage_leaf,
+          "w8": stage_w8, "cone_il": stage_cone_il}
 
 
 def main():
@@ -195,3 +218,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

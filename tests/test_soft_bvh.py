@@ -171,3 +171,35 @@ def test_backend_wiring_gated_off_cpu(monkey_sl):
     # 'off' stays off silently.
     cfg_off = dataclasses.replace(cfg, soft_shadow_kernel="off")
     assert make_backend(monkey_sl, cfg_off).soft_vis is None
+
+
+def test_cone4_interleave_bands_identical_counts():
+    """Round 5: the cone sampler's sample-band interleave is a pure
+    regrouping in the table variant — counts identical across interleave
+    settings (the PRNG variant redraws per band; statistically
+    equivalent)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    import cg_raytracer_tpu as cgrt
+    from cg_raytracer_tpu.ops.pallas_bvh4 import (
+        build_packed_bvh4, soft_shadow_counts_pallas_bvh4_cone)
+
+    scene = cgrt.load_scene("monkey")
+    _, p4 = build_packed_bvh4(scene, max_leaf=14)
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(-1, 1, (300, 3)), jnp.float32)
+    lp = jnp.asarray([-1.0, 1.0, -1.0], jnp.float32)
+    ns = 24
+    gauss = jnp.asarray(rng.standard_normal((ns, 300, 3)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    c1 = soft_shadow_counts_pallas_bvh4_cone(
+        scene, p4, pos, lp, 0.1, key, ns, interpret=True, gauss=gauss,
+        interleave=1)
+    for il, pop in ((2, "base"), (2, "batched")):
+        c = soft_shadow_counts_pallas_bvh4_cone(
+            scene, p4, pos, lp, 0.1, key, ns, interpret=True, gauss=gauss,
+            interleave=il, pop=pop, sample_rows=ns)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c))
